@@ -1,0 +1,196 @@
+"""Typed configuration for the TPU-native DF-GAN framework.
+
+The reference (Nandan-Upadhyaya/GAN-codes) hard-codes every hyperparameter as a
+literal scattered across files; this module centralizes exactly those knobs
+(see reference `Deep_Fusion_GAN/src/train.py:12-57`,
+`src/deep_fusion_gan/model.py:28-53,182,203,251`, `src/utils.py:16,24,27`,
+`src/objects/dataset.py:26,100`, `src/text_encoder/model.py:10`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _log2_int(x: int) -> int:
+    l = int(math.log2(x))
+    if 2**l != x:
+        raise ValueError(f"expected a power of two, got {x}")
+    return l
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """One-stage text-to-image generator (reference `src/generator/model.py:8-46`).
+
+    The reference is fixed at 256x256 (6 upsampling residual blocks from a 4x4
+    seed plus one non-upsampling output block). Here the spatial ladder is
+    derived from `image_size` so the same architecture family covers the
+    64/128/256 operating points in BASELINE.json.
+    """
+
+    n_channels: int = 32
+    latent_dim: int = 100
+    sentence_dim: int = 256
+    affine_hidden: int = 256
+    image_size: int = 256
+    base_size: int = 4  # spatial size of the reshaped latent seed
+
+    @property
+    def n_up_blocks(self) -> int:
+        return _log2_int(self.image_size) - _log2_int(self.base_size)
+
+    @property
+    def block_channels(self) -> Tuple[Tuple[int, int], ...]:
+        """(in, out) channels per upsampling block + the final non-up block.
+
+        Mirrors the reference ladder 256,256,256,256 -> 128 -> 64 -> (out) 32
+        for n_channels=32 / 6 blocks (`src/generator/model.py:15-24`); shorter
+        ladders drop the leading 8nc->8nc blocks.
+        """
+        nc = self.n_channels
+        n_up = self.n_up_blocks
+        if n_up < 2:
+            raise ValueError("image_size must be at least 4x base_size")
+        ladder = [(8 * nc, 8 * nc)] * (n_up - 2) + [(8 * nc, 4 * nc), (4 * nc, 2 * nc)]
+        ladder.append((2 * nc, nc))  # non-upsampling output block
+        return tuple(ladder)
+
+    @property
+    def seed_channels(self) -> int:
+        return 8 * self.n_channels
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Matching-aware discriminator (reference `src/discriminator/model.py:8-58`).
+
+    Downsamples image_size -> 4 through strided residual blocks, then fuses the
+    tiled sentence embedding and reduces to a single logit.
+    """
+
+    n_channels: int = 32
+    sentence_dim: int = 256
+    image_size: int = 256
+    final_size: int = 4
+
+    @property
+    def n_down_blocks(self) -> int:
+        return _log2_int(self.image_size) - _log2_int(self.final_size)
+
+    @property
+    def block_channels(self) -> Tuple[Tuple[int, int], ...]:
+        """Channel ladder 1->2->4->8->16->16->16 (x n_channels), truncated to
+        the number of down blocks (reference uses all 6 at 256px)."""
+        nc = self.n_channels
+        mults = [1, 2, 4, 8, 16, 16, 16]
+        n = self.n_down_blocks
+        if n + 1 > len(mults):
+            raise ValueError(f"image_size {self.image_size} too large")
+        return tuple((mults[i] * nc, mults[i + 1] * nc) for i in range(n))
+
+    @property
+    def embed_channels(self) -> int:
+        return self.block_channels[-1][1]
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    """Frozen DAMSM-style biLSTM encoder (reference `src/text_encoder/model.py:6-31`)."""
+
+    vocab_size: int = 5450
+    embed_dim: int = 300  # ninput
+    hidden_dim: int = 256  # total across directions; 128 per direction
+    max_len: int = 18  # n_steps / caption pad length
+    dropout: float = 0.5
+    bidirectional: bool = True
+
+    @property
+    def per_direction_hidden(self) -> int:
+        return self.hidden_dim // (2 if self.bidirectional else 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """TTUR Adam + global-norm clip (reference `src/deep_fusion_gan/model.py:42-53`)."""
+
+    g_lr: float = 1e-4
+    d_lr: float = 4e-4
+    beta1: float = 0.0
+    beta2: float = 0.9
+    eps: float = 1e-8
+    grad_clip_g: float = 5.0
+    grad_clip_d: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Hinge + MA-GP knobs (reference `src/deep_fusion_gan/model.py:77-85,173-231`)."""
+
+    gp_coef: float = 2.0
+    gp_power: int = 6
+    gp_norm_clip: float = 10.0
+    gp_eps: float = 1e-8
+    # The reference computes the DAMSM text-image cosine loss every G step but
+    # never adds it to g_loss before backward (`model.py:217-231`). We replicate
+    # that (weight 0.0 = logged only) but expose the weight.
+    damsm_weight: float = 0.0
+    nan_guard: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop knobs (reference `src/train.py:20-57`)."""
+
+    batch_size: int = 24
+    num_epochs: int = 600
+    seed: int = 123321
+    eval_max_batches: int = 32  # `model.py:251`
+    checkpoint_every_epochs: int = 1
+    numbered_checkpoint_every: int = 10
+    ema_decay: float = 0.999  # EMA generator (BASELINE.json config 5; 0 disables)
+    compute_dtype: str = "float32"  # "bfloat16" for the bf16 operating point
+    data_axis: str = "data"  # mesh axis name for data parallelism
+
+    @property
+    def compute_jnp_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """CUB pipeline knobs (reference `src/objects/dataset.py`, `src/utils.py:13-24`)."""
+
+    data_dir: str = "data"
+    image_size: int = 256
+    embeddings_num: int = 10  # captions per image
+    max_caption_len: int = 18
+    resize_ratio: float = 76.0 / 64.0  # Resize(imsize * 76/64) before RandomCrop
+    bbox_radius_factor: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    """Top-level config bundling every subsystem."""
+
+    generator: GeneratorConfig = dataclasses.field(default_factory=GeneratorConfig)
+    discriminator: DiscriminatorConfig = dataclasses.field(default_factory=DiscriminatorConfig)
+    text_encoder: TextEncoderConfig = dataclasses.field(default_factory=TextEncoderConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    @staticmethod
+    def for_image_size(image_size: int, n_channels: int = 32,
+                       vocab_size: int = 5450, **train_overrides) -> "GANConfig":
+        return GANConfig(
+            generator=GeneratorConfig(n_channels=n_channels, image_size=image_size),
+            discriminator=DiscriminatorConfig(n_channels=n_channels, image_size=image_size),
+            text_encoder=TextEncoderConfig(vocab_size=vocab_size),
+            train=TrainConfig(**train_overrides) if train_overrides else TrainConfig(),
+            data=DataConfig(image_size=image_size),
+        )

@@ -1,0 +1,62 @@
+"""One-stage text-to-image generator (init/apply pytree style).
+
+Capability parity with reference Generator (`src/generator/model.py:8-46`):
+latent -> Linear -> [B,4,4,8nc] seed -> N x (ResidualBlockG + nearest-2x
+upsample) -> non-upsampling ResidualBlockG -> LeakyReLU -> 3x3 conv -> tanh
+-> [B,H,W,3] in [-1, 1]. NHWC throughout (TPU layout); the reference is NCHW.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GeneratorConfig
+from ..ops import blocks, nn
+
+Params = Dict
+
+
+def init_generator(key: jax.Array, cfg: GeneratorConfig, dtype=jnp.float32) -> Params:
+    n_blocks = len(cfg.block_channels)
+    keys = jax.random.split(key, n_blocks + 2)
+    params: Params = {
+        "linear_in": nn.torch_linear_init(
+            keys[0], cfg.latent_dim,
+            cfg.seed_channels * cfg.base_size * cfg.base_size, dtype=dtype),
+        "blocks": [
+            blocks.init_res_block_g(keys[1 + i], in_ch, out_ch,
+                                    cfg.sentence_dim, cfg.affine_hidden, dtype)
+            for i, (in_ch, out_ch) in enumerate(cfg.block_channels)
+        ],
+        "conv_out": nn.torch_conv_init(keys[-1], 3, 3, cfg.n_channels, 3,
+                                       bias=True, dtype=dtype),
+    }
+    return params
+
+
+def generator_apply(params: Params, cfg: GeneratorConfig,
+                    noise: jnp.ndarray, sentence_embed: jnp.ndarray) -> jnp.ndarray:
+    """noise [B, latent_dim], sentence_embed [B, sentence_dim] -> [B, H, W, 3]."""
+    b = noise.shape[0]
+    x = nn.dense(params["linear_in"], noise)
+    # Reference reshapes to NCHW [B, 8nc, 4, 4] (`generator/model.py:37`); we
+    # keep the same logical layout then transpose to NHWC so ported torch
+    # weights line up element-for-element.
+    x = x.reshape(b, cfg.seed_channels, cfg.base_size, cfg.base_size)
+    x = jnp.transpose(x, (0, 2, 3, 1))
+
+    n_up = cfg.n_up_blocks
+    for i, block_params in enumerate(params["blocks"]):
+        x = blocks.res_block_g(block_params, x, sentence_embed)
+        if i < n_up:
+            x = nn.upsample_nearest_2x(x)
+
+    x = nn.leaky_relu(x)
+    x = nn.conv2d(params["conv_out"], x, stride=1, padding=1)
+    return jnp.tanh(x)
+
+
+def count_params(params: Params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

@@ -1,0 +1,96 @@
+"""Generator / discriminator residual blocks as pure init/apply functions.
+
+Capability parity:
+  * `res_block_g` == reference ResidualBlockG (`src/generator/residual_block.py:9-59`):
+    two DFBlocks (affine -> lrelu -> affine -> lrelu -> 3x3 conv), a 1x1-conv
+    shortcut iff channels change, and `shortcut(x) + gamma * residual` with a
+    learnable scalar gamma initialized to 0.
+  * `res_block_d` == reference ResidualBlockD (`src/discriminator/residual_block.py:7-30`):
+    main path 4x4/s2 conv -> lrelu -> 3x3 conv -> lrelu (bias-free), shortcut
+    1x1 conv (iff channel change) -> 2x2 avg-pool, gamma-scaled sum.
+
+All activations NHWC.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from . import fusion, nn
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Generator residual block (UpBlock body)
+# ---------------------------------------------------------------------------
+
+def init_res_block_g(key: jax.Array, in_ch: int, out_ch: int,
+                     sentence_dim: int = 256, affine_hidden: int = 256,
+                     dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 6)
+    p = {
+        # DFBlock 1: modulates/convolves the in_ch feature map -> out_ch
+        "affine_1": fusion.init_affine(ks[0], sentence_dim, affine_hidden, in_ch, dtype),
+        "affine_2": fusion.init_affine(ks[1], sentence_dim, affine_hidden, in_ch, dtype),
+        "conv_1": nn.torch_conv_init(ks[2], 3, 3, in_ch, out_ch, bias=True, dtype=dtype),
+        # DFBlock 2: out_ch -> out_ch
+        "affine_3": fusion.init_affine(ks[3], sentence_dim, affine_hidden, out_ch, dtype),
+        "affine_4": fusion.init_affine(ks[4], sentence_dim, affine_hidden, out_ch, dtype),
+        "conv_2": nn.torch_conv_init(ks[5], 3, 3, out_ch, out_ch, bias=True, dtype=dtype),
+        "gamma": jnp.zeros((), dtype),
+    }
+    if in_ch != out_ch:
+        kshort = jax.random.fold_in(key, 7)
+        p["shortcut_conv"] = nn.torch_conv_init(kshort, 1, 1, in_ch, out_ch,
+                                                bias=True, dtype=dtype)
+    return p
+
+
+def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray) -> jnp.ndarray:
+    # DFBlock 1
+    h = fusion.affine_leaky(params["affine_1"], x, sentence_embed)
+    h = fusion.affine_leaky(params["affine_2"], h, sentence_embed)
+    h = nn.conv2d(params["conv_1"], h, stride=1, padding=1)
+    # DFBlock 2
+    h = fusion.affine_leaky(params["affine_3"], h, sentence_embed)
+    h = fusion.affine_leaky(params["affine_4"], h, sentence_embed)
+    h = nn.conv2d(params["conv_2"], h, stride=1, padding=1)
+
+    shortcut = x
+    if "shortcut_conv" in params:
+        shortcut = nn.conv2d(params["shortcut_conv"], x, stride=1, padding=0)
+    return shortcut + params["gamma"].astype(x.dtype) * h
+
+
+# ---------------------------------------------------------------------------
+# Discriminator residual block (DownBlock)
+# ---------------------------------------------------------------------------
+
+def init_res_block_d(key: jax.Array, in_ch: int, out_ch: int,
+                     dtype=jnp.float32) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv_1": nn.torch_conv_init(k1, 4, 4, in_ch, out_ch, bias=False, dtype=dtype),
+        "conv_2": nn.torch_conv_init(k2, 3, 3, out_ch, out_ch, bias=False, dtype=dtype),
+        "gamma": jnp.zeros((), dtype),
+    }
+    if in_ch != out_ch:
+        p["shortcut_conv"] = nn.torch_conv_init(k3, 1, 1, in_ch, out_ch,
+                                                bias=True, dtype=dtype)
+    return p
+
+
+def res_block_d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = nn.conv2d(params["conv_1"], x, stride=2, padding=1)
+    h = nn.leaky_relu(h)
+    h = nn.conv2d(params["conv_2"], h, stride=1, padding=1)
+    h = nn.leaky_relu(h)
+
+    shortcut = x
+    if "shortcut_conv" in params:
+        shortcut = nn.conv2d(params["shortcut_conv"], x, stride=1, padding=0)
+    shortcut = nn.avg_pool2d(shortcut, 2)
+    return shortcut + params["gamma"].astype(x.dtype) * h

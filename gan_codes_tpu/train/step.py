@@ -1,0 +1,163 @@
+"""The single jitted 3-phase GAN train step.
+
+Reference semantics reproduced (`src/deep_fusion_gan/model.py:163-231`): each
+batch runs (1) a D hinge step with the shift-by-one mismatch term and detached
+fakes, (2) a second D step on the MA-GP penalty computed with the
+*post-phase-1* D params, then (3) a G step whose D forward uses the
+*post-phase-2* D params, with the same fake images (same noise). The DAMSM
+cosine loss is computed and logged each G step but carries weight
+`cfg.loss.damsm_weight` (0.0 by default = the reference's logged-only quirk).
+
+TPU-first design decisions:
+  * All three phases live in ONE `jax.jit` program: XLA fuses the whole step,
+    and there is exactly one host->device dispatch per batch.
+  * The MA-GP double backward is `jax.grad` of a function that itself calls
+    `jax.grad` — no retain_graph machinery, no second dispatch.
+  * No length-sorting of captions (the reference sorts every batch for
+    pack_padded_sequence, `src/objects/utils.py:11-17`); the masked-scan LSTM
+    makes it unnecessary. The mismatch shift pairing is equally arbitrary
+    either way.
+  * Under bf16 compute, master params/optimizer state stay fp32 and the GP
+    phase runs in fp32 (grad-norm stability).
+  * Noise and NaN-guard randomness come from the PRNG key carried in
+    TrainState, so runs are reproducible and resume-safe — the reference
+    loses RNG state across resumes (SURVEY.md §5).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import GANConfig
+from ..models.discriminator import discriminator_embeds, discriminator_logits
+from ..models.generator import generator_apply
+from ..models.text_encoder import text_encoder_apply
+from . import losses
+from .state import TrainState, ema_update, make_optimizers
+
+Params = Any
+Metrics = Dict[str, jnp.ndarray]
+
+
+def _cast(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+
+
+def make_train_step(cfg: GANConfig):
+    """Build the pure step function `(state, text_params, images, captions,
+    cap_lens) -> (state, metrics)`. Wrap with jax.jit (single device) or the
+    helpers in `parallel/` (mesh)."""
+    g_tx, d_tx = make_optimizers(cfg)
+    gen_cfg, te_cfg, loss_cfg = cfg.generator, cfg.text_encoder, cfg.loss
+    cdtype = cfg.train.compute_jnp_dtype
+    ema_decay = cfg.train.ema_decay
+
+    def guard(loss, grads, key):
+        """Reference _check_nan semantics on a (loss, grads) pair."""
+        if not loss_cfg.nan_guard:
+            return loss, grads
+        guarded = losses.nan_guard_loss(loss, key)
+        return guarded, losses.zero_grads_if_nonfinite(loss, grads)
+
+    def train_step(state: TrainState, text_params: Params,
+                   images: jnp.ndarray, captions: jnp.ndarray,
+                   cap_lens: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        rng, k_noise, k_d, k_gp, k_g = jax.random.split(state.rng, 5)
+        batch = images.shape[0]
+
+        # Frozen text encoder forward (eval mode, no dropout) — `model.py:171`.
+        sents = text_encoder_apply(text_params, te_cfg, captions, cap_lens)
+        sents = jax.lax.stop_gradient(sents)
+
+        noise = jax.random.normal(k_noise, (batch, gen_cfg.latent_dim))
+
+        images_c = images.astype(cdtype)
+        sents_c = sents.astype(cdtype)
+
+        # Fakes for the D phase: forward G once, detached (`model.py:182-185`).
+        fake = generator_apply(_cast(state.g_params, cdtype), gen_cfg,
+                               noise.astype(cdtype), sents_c)
+        fake_detached = jax.lax.stop_gradient(fake)
+
+        # ---- Phase 1: D hinge (adversarial + mismatch) ----
+        def d_loss_fn(d_params):
+            return losses.d_hinge_loss(
+                discriminator_embeds, discriminator_logits,
+                _cast(d_params, cdtype), images_c, fake_detached, sents_c
+            ).astype(jnp.float32)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_loss, d_grads = guard(d_loss, d_grads, k_d)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                             state.d_params)
+        d_params_1 = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- Phase 2: MA-GP on the post-phase-1 D (`model.py:200-210`) ----
+        # fp32 throughout: grad-of-grad norms are precision-sensitive.
+        def gp_loss_fn(d_params):
+            return losses.ma_gradient_penalty(
+                discriminator_embeds, discriminator_logits, d_params,
+                images.astype(jnp.float32), sents.astype(jnp.float32),
+                loss_cfg)
+
+        gp_loss, gp_grads = jax.value_and_grad(gp_loss_fn)(d_params_1)
+        gp_loss, gp_grads = guard(gp_loss, gp_grads, k_gp)
+        gp_updates, d_opt_state = d_tx.update(gp_grads, d_opt_state, d_params_1)
+        d_params_2 = optax.apply_updates(d_params_1, gp_updates)
+
+        # ---- Phase 3: G step against the post-phase-2 D (`model.py:214-228`).
+        # The reference reuses the tensor `fake_images`; regenerating with the
+        # same noise/params yields the same values while giving JAX the
+        # forward graph to differentiate.
+        d_params_2_c = _cast(d_params_2, cdtype)
+
+        def g_loss_fn(g_params):
+            fake2 = generator_apply(_cast(g_params, cdtype), gen_cfg,
+                                    noise.astype(cdtype), sents_c)
+            adv = losses.g_hinge_loss(
+                discriminator_embeds, discriminator_logits, d_params_2_c,
+                fake2, sents_c).astype(jnp.float32)
+            txtimg = losses.damsm_cosine_loss(
+                fake2.astype(jnp.float32), sents).astype(jnp.float32)
+            total = adv + loss_cfg.damsm_weight * txtimg
+            return total, (adv, txtimg)
+
+        (g_total, (g_adv, txtimg_loss)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_adv, g_grads = guard(g_adv, g_grads, k_g)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
+                                             state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_ema = ema_update(state.g_ema_params, g_params, ema_decay)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params_2,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            g_ema_params=g_ema,
+            rng=rng,
+        )
+        metrics = {
+            "d_loss": d_loss,
+            "d_gp_loss": gp_loss,
+            "g_loss": g_adv,
+            "txtimg_loss": txtimg_loss,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_jitted_train_step(cfg: GANConfig):
+    """Single-device jitted step with state donation (buffers reused in-place)."""
+    step = make_train_step(cfg)
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,194 @@
+"""Golden-parity tests: JAX ops/models vs functional-PyTorch oracles at shared
+weights (SURVEY.md §4 test plan item (a))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_ref as tr
+from gan_codes_tpu.config import (DiscriminatorConfig, GANConfig,
+                                  GeneratorConfig, TextEncoderConfig)
+from gan_codes_tpu.models.discriminator import (discriminator_embeds,
+                                                discriminator_logits,
+                                                init_discriminator)
+from gan_codes_tpu.models.generator import generator_apply, init_generator
+from gan_codes_tpu.models.text_encoder import (convert_torch_state_dict,
+                                               init_text_encoder,
+                                               text_encoder_apply)
+from gan_codes_tpu.ops import blocks, fusion, nn
+
+KEY = jax.random.PRNGKey(42)
+
+
+def allclose(a, b, atol=1e-4, rtol=1e-4):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol, rtol=rtol)
+
+
+class TestPrimitives:
+    def test_upsample_nearest_matches_interpolate(self):
+        x = jax.random.normal(KEY, (2, 5, 7, 3))
+        got = nn.upsample_nearest_2x(x)
+        want = torch.nn.functional.interpolate(tr.nhwc2nchw(x).clone().detach(),
+                                               scale_factor=2)
+        allclose(got, tr.nchw2nhwc(want), atol=0)
+
+    def test_avg_pool_matches_torch(self):
+        x = jax.random.normal(KEY, (2, 8, 8, 5))
+        got = nn.avg_pool2d(x, 2)
+        want = torch.nn.functional.avg_pool2d(tr.nhwc2nchw(x), 2)
+        allclose(got, tr.nchw2nhwc(want), atol=1e-6)
+
+    def test_leaky_relu(self):
+        x = jax.random.normal(KEY, (4, 4))
+        got = nn.leaky_relu(x, 0.2)
+        want = torch.nn.functional.leaky_relu(tr.j2t(x), 0.2)
+        allclose(got, want.numpy(), atol=0)
+
+    def test_conv2d_stride2_pad1(self):
+        kx, kw = jax.random.split(KEY)
+        x = jax.random.normal(kx, (2, 8, 8, 4))
+        p = nn.torch_conv_init(kw, 4, 4, 4, 6, bias=False)
+        got = nn.conv2d(p, x, stride=2, padding=1)
+        want = torch.nn.functional.conv2d(tr.nhwc2nchw(x), tr.conv_w(p),
+                                          stride=2, padding=1)
+        allclose(got, tr.nchw2nhwc(want), atol=1e-5)
+
+
+class TestBlocks:
+    def test_affine_block(self):
+        kp, kx, ks = jax.random.split(KEY, 3)
+        p = fusion.init_affine(kp, 16, 32, 8)
+        x = jax.random.normal(kx, (3, 5, 5, 8))
+        s = jax.random.normal(ks, (3, 16))
+        got = fusion.affine(p, x, s)
+        want = tr.affine(p, tr.nhwc2nchw(x), tr.j2t(s))
+        allclose(got, tr.nchw2nhwc(want))
+
+    @pytest.mark.parametrize("in_ch,out_ch", [(16, 16), (16, 8)])
+    def test_res_block_g(self, in_ch, out_ch):
+        kp, kx, ks = jax.random.split(KEY, 3)
+        p = blocks.init_res_block_g(kp, in_ch, out_ch, sentence_dim=12,
+                                    affine_hidden=24)
+        # nonzero gamma so the residual path is exercised
+        p["gamma"] = jnp.asarray(0.7, jnp.float32)
+        x = jax.random.normal(kx, (2, 6, 6, in_ch))
+        s = jax.random.normal(ks, (2, 12))
+        got = blocks.res_block_g(p, x, s)
+        want = tr.res_block_g(p, tr.nhwc2nchw(x), tr.j2t(s))
+        allclose(got, tr.nchw2nhwc(want))
+
+    @pytest.mark.parametrize("in_ch,out_ch", [(8, 16), (16, 16)])
+    def test_res_block_d(self, in_ch, out_ch):
+        kp, kx = jax.random.split(KEY)
+        p = blocks.init_res_block_d(kp, in_ch, out_ch)
+        p["gamma"] = jnp.asarray(-0.3, jnp.float32)
+        x = jax.random.normal(kx, (2, 8, 8, in_ch))
+        got = blocks.res_block_d(p, x)
+        want = tr.res_block_d(p, tr.nhwc2nchw(x))
+        allclose(got, tr.nchw2nhwc(want))
+
+
+class TestModels:
+    def test_generator_full_forward(self):
+        cfg = GeneratorConfig(n_channels=8, image_size=32, sentence_dim=20)
+        kp, kn, ks = jax.random.split(KEY, 3)
+        p = init_generator(kp, cfg)
+        # randomize the gamma scalars away from the 0 init
+        for i, bp in enumerate(p["blocks"]):
+            bp["gamma"] = jnp.asarray(0.1 * (i + 1), jnp.float32)
+        noise = jax.random.normal(kn, (2, cfg.latent_dim))
+        sent = jax.random.normal(ks, (2, cfg.sentence_dim))
+        got = generator_apply(p, cfg, noise, sent)
+        assert got.shape == (2, 32, 32, 3)
+        want = tr.generator(p, cfg, noise, sent)
+        allclose(got, tr.nchw2nhwc(want), atol=3e-4, rtol=3e-4)
+
+    def test_discriminator_full_forward(self):
+        cfg = DiscriminatorConfig(n_channels=8, image_size=32, sentence_dim=20)
+        kp, kx, ks = jax.random.split(KEY, 3)
+        p = init_discriminator(kp, cfg)
+        for i, bp in enumerate(p["blocks"]):
+            bp["gamma"] = jnp.asarray(0.2 * (i + 1), jnp.float32)
+        x = jax.random.normal(kx, (2, 32, 32, 3))
+        s = jax.random.normal(ks, (2, 20))
+        emb = discriminator_embeds(p, x)
+        assert emb.shape == (2, 4, 4, cfg.embed_channels)
+        logits = discriminator_logits(p, emb, s)
+        assert logits.shape == (2, 1, 1, 1)
+        emb_t = tr.discriminator_embeds(p, tr.nhwc2nchw(x))
+        allclose(emb, tr.nchw2nhwc(emb_t), atol=3e-4, rtol=3e-4)
+        logits_t = tr.discriminator_logits(p, emb_t, tr.j2t(s))
+        allclose(logits, tr.nchw2nhwc(logits_t), atol=3e-4, rtol=3e-4)
+
+    def test_param_counts_match_reference(self):
+        """Measured reference sizes: G 12.24M / D 19.65M / TE 2.08M (SURVEY §6)."""
+        cfg = GANConfig.for_image_size(256)
+        gp = jax.jit(lambda k: init_generator(k, cfg.generator))(KEY)
+        dp = jax.jit(lambda k: init_discriminator(k, cfg.discriminator))(KEY)
+        tp = jax.jit(lambda k: init_text_encoder(k, cfg.text_encoder))(KEY)
+        count = lambda t: sum(int(p.size) for p in jax.tree.leaves(t))
+        assert count(gp) == 12_240_010
+        assert abs(count(dp) - 19_645_254) < 10
+        assert count(tp) == 2_075_320
+
+
+class TestTextEncoderParity:
+    """Masked-scan biLSTM vs torch packed-sequence LSTM (SURVEY §7 hard part #2)."""
+
+    def _torch_encoder(self, cfg, seed=0):
+        torch.manual_seed(seed)
+        emb = torch.nn.Embedding(cfg.vocab_size, cfg.embed_dim)
+        lstm = torch.nn.LSTM(cfg.embed_dim, cfg.per_direction_hidden, 1,
+                             batch_first=True, bidirectional=cfg.bidirectional)
+        return emb, lstm
+
+    def _state_dict(self, emb, lstm):
+        sd = {"encoder.weight": emb.weight.detach()}
+        for name, p in lstm.named_parameters():
+            sd[f"rnn.{name}"] = p.detach()
+        return sd
+
+    def test_packed_lstm_parity_unsorted_lengths(self):
+        cfg = TextEncoderConfig(vocab_size=100, embed_dim=16, hidden_dim=24,
+                                max_len=9)
+        emb, lstm = self._torch_encoder(cfg)
+        params = convert_torch_state_dict(self._state_dict(emb, lstm), cfg)
+
+        rng = np.random.RandomState(7)
+        caps = rng.randint(1, 100, size=(5, 9)).astype(np.int32)
+        lens = np.array([3, 9, 1, 7, 5], dtype=np.int32)  # deliberately unsorted
+        for i, l in enumerate(lens):
+            caps[i, l:] = 0
+
+        got = text_encoder_apply(params, cfg, jnp.asarray(caps), jnp.asarray(lens))
+
+        with torch.no_grad():
+            e = emb(torch.from_numpy(caps.astype(np.int64)))
+            packed = torch.nn.utils.rnn.pack_padded_sequence(
+                e, lens.tolist(), batch_first=True, enforce_sorted=False)
+            _, (h_n, _) = lstm(packed)
+            want = h_n.transpose(0, 1).reshape(5, -1)
+        allclose(got, want.numpy(), atol=5e-5, rtol=5e-4)
+
+    def test_full_length_batch(self):
+        cfg = TextEncoderConfig(vocab_size=50, embed_dim=8, hidden_dim=16,
+                                max_len=6)
+        emb, lstm = self._torch_encoder(cfg, seed=3)
+        params = convert_torch_state_dict(self._state_dict(emb, lstm), cfg)
+        caps = np.arange(24).reshape(4, 6).astype(np.int32) % 50
+        lens = np.full((4,), 6, np.int32)
+        got = text_encoder_apply(params, cfg, jnp.asarray(caps), jnp.asarray(lens))
+        with torch.no_grad():
+            e = emb(torch.from_numpy(caps.astype(np.int64)))
+            _, (h_n, _) = lstm(e)
+            want = h_n.transpose(0, 1).reshape(4, -1)
+        allclose(got, want.numpy(), atol=1e-5, rtol=1e-5)
+
+    def test_random_init_shapes(self):
+        cfg = TextEncoderConfig(vocab_size=64, embed_dim=10, hidden_dim=8,
+                                max_len=5)
+        p = init_text_encoder(KEY, cfg)
+        out = text_encoder_apply(p, cfg, jnp.zeros((2, 5), jnp.int32),
+                                 jnp.array([2, 5]))
+        assert out.shape == (2, 8)

@@ -1,0 +1,108 @@
+"""Headline benchmark: images/sec/chip for the 256x256 G+D train step.
+
+Runs the FULL 3-phase step (D hinge + MA-GP double-backward + G update, same
+semantics as reference `src/deep_fusion_gan/model.py:163-231`) at the
+reference operating point (256x256, 12.24M-param G / 19.65M-param D) on one
+chip and prints ONE JSON line.
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` is
+computed against REF_IMAGES_PER_SEC — a documented estimate of the PyTorch
+reference on a single V100-class GPU at its bs=24 fp32 operating point
+(~30 img/s; DF-GAN-family training at 256px is widely reported at
+20-40 img/s/GPU). The north-star target is 5x that.
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_IMAGES_PER_SEC = 30.0  # estimated PyTorch reference on V100-class GPU
+
+
+def bench_step(compute_dtype: str, batch: int, iters: int = 10,
+               image_size: int = 256) -> float:
+    """Time `iters` train steps rolled into ONE device program via lax.scan.
+
+    Per-dispatch Python-loop timing is unreliable through this image's remote
+    TPU relay (dispatch returns before execution; measured "38 PFLOP/s"),
+    while a single dispatch + block_until_ready is accurate (validated
+    against an 8192^3 matmul at 122 TFLOP/s bf16 == v5e reality). Scanning
+    the step also removes host-dispatch overhead from the measurement, which
+    is the right steady-state model for a training loop.
+    """
+    from gan_codes_tpu.config import GANConfig
+    from gan_codes_tpu.models.text_encoder import init_text_encoder
+    from gan_codes_tpu.train.state import create_train_state
+    from gan_codes_tpu.train.step import make_train_step
+
+    cfg = GANConfig.for_image_size(image_size, batch_size=batch,
+                                   compute_dtype=compute_dtype)
+    key = jax.random.PRNGKey(0)
+    state = jax.jit(lambda k: create_train_state(k, cfg))(key)
+    te_params = init_text_encoder(key, cfg.text_encoder)
+    step_fn = make_train_step(cfg)
+
+    images = jax.random.normal(key, (batch, image_size, image_size, 3),
+                               jnp.float32)
+    captions = jax.random.randint(key, (batch, cfg.text_encoder.max_len),
+                                  1, cfg.text_encoder.vocab_size)
+    cap_lens = jnp.full((batch,), cfg.text_encoder.max_len, jnp.int32)
+
+    @jax.jit
+    def run_n(state):
+        def body(s, _):
+            s2, m = step_fn(s, te_params, images, captions, cap_lens)
+            return s2, m["g_loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    state, _ = run_n(state)            # compile + warmup
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state, losses = run_n(state)       # one dispatch, iters steps
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(losses).all()), "non-finite losses in bench"
+    return batch * iters / dt
+
+
+def main():
+    results = {}
+    candidates = [
+        ("float32", 24),   # the reference operating point
+        ("bfloat16", 24),
+        ("bfloat16", 64),  # TPU-friendly larger batch
+    ]
+    for dtype, batch in candidates:
+        try:
+            ips = bench_step(dtype, batch)
+            results[f"{dtype}_bs{batch}"] = ips
+            print(f"[bench] {dtype} bs={batch}: {ips:.2f} img/s", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] {dtype} bs={batch} failed: {e}", file=sys.stderr)
+
+    if not results:
+        print(json.dumps({"metric": "images_per_sec_per_chip_256px_train_step",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0}))
+        return
+
+    best_key = max(results, key=results.get)
+    best = results[best_key]
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_256px_train_step",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / REF_IMAGES_PER_SEC, 2),
+        "config": best_key,
+        "all": {k: round(v, 2) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

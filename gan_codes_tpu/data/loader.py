@@ -1,0 +1,93 @@
+"""Batched loader with multi-threaded decode and background prefetch.
+
+Replaces the reference's torch DataLoader, which ran with NO workers and NO
+pinned memory (`src/utils.py:24`) — every decode blocked the GPU step. Here
+JPEG decode/augment runs in a thread pool (PIL releases the GIL) while the
+accelerator computes, and batches are handed over as uint8 numpy arrays for a
+cheap device transfer; normalization happens on device.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .dataset import CUBDataset
+
+
+class Batch(dict):
+    """Dict with attribute access: images (uint8 [B,H,W,3]), captions
+    (int32 [B,T]), cap_lens (int32 [B]), file_names (list[str])."""
+
+    __getattr__ = dict.__getitem__
+
+
+class DataLoader:
+    def __init__(self, dataset: CUBDataset, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 seed: int = 123321, num_threads: int = 8,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_item(self, idx: int, seed: int):
+        rng = np.random.default_rng(seed)
+        image = self.dataset.load_image(idx, rng)
+        caption, cap_len = self.dataset.random_caption(idx, rng)
+        return image, caption, cap_len, self.dataset.file_names[idx]
+
+    def _make_batch(self, indices: np.ndarray, seeds: np.ndarray,
+                    pool: ThreadPoolExecutor) -> Batch:
+        items = list(pool.map(self._load_item, indices.tolist(), seeds.tolist()))
+        images = np.stack([it[0] for it in items])
+        captions = np.stack([it[1] for it in items]).astype(np.int32)
+        cap_lens = np.asarray([it[2] for it in items], dtype=np.int32)
+        names = [it[3] for it in items]
+        return Batch(images=images, captions=captions, cap_lens=cap_lens,
+                     file_names=names)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.drop_last:
+            order = order[: (n // self.batch_size) * self.batch_size]
+        batches = [order[i: i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        seeds = self._rng.integers(0, 2**63 - 1, size=len(order)).reshape(
+            len(batches), -1) if batches else np.zeros((0, 0), np.int64)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                try:
+                    for idx_batch, seed_batch in zip(batches, seeds):
+                        q.put(self._make_batch(idx_batch, seed_batch, pool))
+                except Exception as e:  # surface decode errors to the consumer
+                    q.put(e)
+                finally:
+                    q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        thread.join()

@@ -1,0 +1,155 @@
+"""Inception Score + FID, on-device.
+
+Capability parity with `src/evaluation/metrics.py:7-118`, with the
+inefficiencies fixed:
+  * one resident, jitted InceptionV3 instead of re-instantiating torchvision's
+    model twice per epoch (`metrics.py:12,67`);
+  * fake/real images never leave the device until the final statistics;
+  * the same numerical-safety semantics (NaN scrub of inputs, logit clamp
+    +-50, epsilon'd log in IS, IS -> 1.0 / FID -> inf on failure).
+
+FID's matrix square root uses scipy's exact `sqrtm` on host by default (the
+reference's path, `metrics.py:108`), with an on-device Newton-Schulz
+alternative (`sqrtm_trace_newton_schulz`) for fully host-free eval.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import inception as inception_lib
+
+INCEPTION_SIZE = 299
+
+
+def _preprocess(images: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] NHWC any-size -> [0,1] 299x299 (reference `metrics.py:26-28`)."""
+    images = jnp.nan_to_num(images, nan=0.0, posinf=1.0, neginf=-1.0)
+    images = jnp.clip((images + 1.0) / 2.0, 0.0, 1.0)
+    b = images.shape[0]
+    return jax.image.resize(
+        images, (b, INCEPTION_SIZE, INCEPTION_SIZE, images.shape[-1]),
+        method="bilinear")
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _logits_batch(params, images):
+    x = _preprocess(images)
+    logits = inception_lib.inception_logits(params, x)
+    logits = jnp.clip(logits, -50.0, 50.0)  # reference `metrics.py:33`
+    return jax.nn.softmax(logits, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _features_batch(params, images):
+    x = _preprocess(images)
+    return inception_lib.inception_features(params, x)
+
+
+def _batched(fn: Callable, params, images: jnp.ndarray,
+             batch_size: int) -> np.ndarray:
+    """Run fn over fixed-size batches (pad the tail so XLA compiles once)."""
+    n = images.shape[0]
+    outs = []
+    for i in range(0, n, batch_size):
+        chunk = images[i: i + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        out = np.asarray(fn(params, chunk))
+        outs.append(out[: batch_size - pad] if pad else out)
+    return np.concatenate(outs, axis=0)
+
+
+def compute_inception_score(inception_params, images: jnp.ndarray,
+                            batch_size: int = 8, splits: int = 1) -> float:
+    """IS over [-1,1] NHWC images (reference `metrics.py:7-60`)."""
+    try:
+        n = images.shape[0]
+        preds = _batched(_logits_batch, inception_params, images, batch_size)
+        preds = np.nan_to_num(preds, nan=1.0 / 1000, posinf=1.0 / 1000,
+                              neginf=1.0 / 1000)
+        split_scores = []
+        for k in range(splits):
+            part = preds[k * (n // splits): (k + 1) * (n // splits)]
+            py = np.mean(part, axis=0) + 1e-10
+            kl = np.sum((part + 1e-10) * (np.log(part + 1e-10) - np.log(py)),
+                        axis=1)
+            split_scores.append(np.exp(np.mean(kl)))
+        return float(np.mean(split_scores))
+    except Exception as e:  # reference returns baseline 1.0 on failure
+        print(f"Error in IS calculation: {e}")
+        return 1.0
+
+
+def sqrtm_trace_newton_schulz(a: jnp.ndarray, num_iters: int = 50) -> jnp.ndarray:
+    """trace(sqrtm(A)) via Newton-Schulz iteration, fully on device.
+
+    A must be (numerically) PSD; float64 recommended. Avoids the host
+    round-trip of scipy.linalg.sqrtm for the FID cross term.
+    """
+    dim = a.shape[0]
+    norm = jnp.sqrt(jnp.sum(a * a))
+    y = a / norm
+    eye = jnp.eye(dim, dtype=a.dtype)
+    z = eye
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - z @ y)
+        return (y @ t, t @ z)
+
+    y, _ = jax.lax.fori_loop(0, num_iters, body, (y, z))
+    return jnp.trace(y) * jnp.sqrt(norm)
+
+
+def _frechet_distance(mu1, sigma1, mu2, sigma2,
+                      use_scipy: bool = True) -> float:
+    diff = mu1 - mu2
+    if use_scipy:
+        from scipy import linalg
+
+        covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        tr_covmean = np.trace(covmean)
+    else:
+        tr_covmean = float(sqrtm_trace_newton_schulz(
+            jnp.asarray(sigma1 @ sigma2, jnp.float64)))
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * tr_covmean)
+
+
+def compute_fid(inception_params, real_images: jnp.ndarray,
+                fake_images: jnp.ndarray, batch_size: int = 8,
+                use_scipy_sqrtm: bool = True) -> float:
+    """FID over [-1,1] NHWC image sets (reference `metrics.py:62-118`)."""
+    try:
+        act1 = _batched(_features_batch, inception_params, real_images,
+                        batch_size).astype(np.float64)
+        act2 = _batched(_features_batch, inception_params, fake_images,
+                        batch_size).astype(np.float64)
+        if np.isnan(act1).any() or np.isnan(act2).any():
+            print("Warning: Activations contain NaN values")
+            return float("inf")
+        mu1, sigma1 = act1.mean(axis=0), np.cov(act1, rowvar=False)
+        mu2, sigma2 = act2.mean(axis=0), np.cov(act2, rowvar=False)
+        return _frechet_distance(mu1, sigma1, mu2, sigma2, use_scipy_sqrtm)
+    except Exception as e:
+        print(f"Error in FID calculation: {e}")
+        return float("inf")
+
+
+def compute_is_fid(inception_params, fake_images: jnp.ndarray,
+                   real_images: jnp.ndarray, batch_size: int = 8,
+                   splits: int = 1) -> Tuple[float, float]:
+    """Reference `compute_is_fid` pairing (`deep_fusion_gan/model.py:91-97`)."""
+    is_score = compute_inception_score(inception_params, fake_images,
+                                       batch_size, splits)
+    fid = compute_fid(inception_params, real_images, fake_images, batch_size)
+    return is_score, fid

@@ -1,0 +1,98 @@
+"""Prompt -> image generation (the "serve" path).
+
+Capability parity with `src/test_generate.py:12-84`: tokenize a free-text
+prompt (lowercase, strip '.'/',', OOV -> <unk> -> 0, pad to 18), encode with
+the frozen text encoder, generate one image from fresh noise, save it.
+Exposed both as a library function and an interactive `main()`.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GANConfig
+from .models.generator import generator_apply
+from .models.text_encoder import text_encoder_apply
+from .train.checkpoint import CheckpointManager
+from .utils import image_io
+
+Params = Any
+
+
+def preprocess_caption(caption: str, word2code: Dict[str, int],
+                       max_len: int = 18) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize + encode a prompt (reference `test_generate.py:12-19`)."""
+    tokens = caption.lower().replace(".", "").replace(",", "").split()
+    encoded = [word2code.get(w, word2code.get("<unk>", 0)) for w in tokens]
+    cap_len = max(1, min(len(encoded), max_len))
+    arr = np.zeros((1, max_len), dtype=np.int32)
+    arr[0, :cap_len] = encoded[:max_len]
+    return arr, np.asarray([cap_len], dtype=np.int32)
+
+
+def generate_from_prompt(prompt: str, g_params: Params,
+                         text_encoder_params: Params, cfg: GANConfig,
+                         word2code: Dict[str, int],
+                         rng: Optional[jax.Array] = None) -> np.ndarray:
+    """Returns one [-1,1] HWC image for the prompt."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    captions, cap_lens = preprocess_caption(prompt, word2code,
+                                            cfg.text_encoder.max_len)
+    sents = text_encoder_apply(text_encoder_params, cfg.text_encoder,
+                               jnp.asarray(captions), jnp.asarray(cap_lens))
+    noise = jax.random.normal(rng, (1, cfg.generator.latent_dim))
+    img = generator_apply(g_params, cfg.generator, noise, sents)
+    return np.asarray(jax.device_get(img))[0]
+
+
+def load_vocab(data_dir: str) -> Tuple[Dict[int, str], Dict[str, int]]:
+    """Read code2word/word2code from captions.pickle
+    (reference `test_generate.py:30-32`)."""
+    with open(os.path.join(data_dir, "captions.pickle"), "rb") as f:
+        _, _, code2word, word2code = pickle.load(f)
+    return code2word, word2code
+
+
+def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
+         gen_weights_dir: str = "gen_weights",
+         image_save_path: str = "testing_images",
+         prompt: Optional[str] = None) -> Optional[str]:
+    """Interactive prompt -> image (reference `test_generate.py:21-84`)."""
+    from .models.text_encoder import load_text_encoder
+
+    code2word, word2code = load_vocab(data_dir)
+    cfg = GANConfig.for_image_size(256, vocab_size=len(code2word))
+    te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
+
+    ckpt = CheckpointManager(gen_weights_dir)
+    epoch = ckpt.latest_generator_epoch()
+    if epoch is None:
+        raise FileNotFoundError(
+            "No generator weights found in gen_weights directory.")
+    from .models.generator import init_generator
+    template = jax.eval_shape(
+        lambda k: {"g_params": init_generator(k, cfg.generator),
+                   "g_ema_params": init_generator(k, cfg.generator)},
+        jax.random.PRNGKey(0))
+    gen_tree = ckpt.restore_generator(epoch, template)
+
+    if prompt is None:
+        prompt = input("Enter your text prompt: ").strip()
+    if not prompt:
+        print("No prompt entered.")
+        return None
+
+    img = generate_from_prompt(prompt, gen_tree["g_params"], te_params, cfg,
+                               word2code)
+    path = image_io.save_image(img, image_save_path, "sample_from_prompt")
+    print(f"Generated image saved to {path}")
+    return path
+
+
+if __name__ == "__main__":
+    main()

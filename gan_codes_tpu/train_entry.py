@@ -1,0 +1,101 @@
+"""Full training entry point.
+
+Capability parity with `src/train.py:8-73`: fix seed, build train/test
+loaders, construct the trainer with the dataset vocab, wire code2word, resume
+from the latest checkpoint if present, fit, print the per-epoch metric table.
+Paths/hyperparameters come from CLI flags instead of hard-coded Windows paths.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from .config import GANConfig
+from .data.dataset import CUBDataset
+from .data.loader import DataLoader
+from .models.text_encoder import init_text_encoder, load_text_encoder
+from .train.trainer import Trainer
+from .utils.seeding import fix_seed
+
+
+def train(data_path: str, encoder_weights_path: Optional[str],
+          image_save_path: str = "gen_images",
+          gen_path_save: str = "gen_weights",
+          image_size: int = 256, batch_size: int = 24,
+          num_epochs: int = 600, seed: int = 123321,
+          inception_weights_path: Optional[str] = None,
+          compute_dtype: str = "float32"):
+    root_key = fix_seed(seed)
+
+    os.makedirs(image_save_path, exist_ok=True)
+    os.makedirs(gen_path_save, exist_ok=True)
+
+    cfg = GANConfig.for_image_size(image_size)
+    train_ds = CUBDataset(
+        cfg.data.__class__(data_dir=data_path, image_size=image_size),
+        "train")
+    test_ds = CUBDataset(
+        cfg.data.__class__(data_dir=data_path, image_size=image_size),
+        "test", augment=False)
+    print(f"Test set size: {len(test_ds)} images")
+
+    cfg = GANConfig.for_image_size(image_size, vocab_size=train_ds.n_words,
+                                   batch_size=batch_size,
+                                   num_epochs=num_epochs, seed=seed,
+                                   compute_dtype=compute_dtype)
+
+    train_loader = DataLoader(train_ds, batch_size, seed=seed)
+    test_loader = DataLoader(test_ds, batch_size, shuffle=False, seed=seed)
+
+    if encoder_weights_path and os.path.exists(encoder_weights_path):
+        te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
+    else:
+        print("Warning: no pretrained text encoder; using random init")
+        te_params = init_text_encoder(root_key, cfg.text_encoder)
+
+    inception_params = None
+    if inception_weights_path and os.path.exists(inception_weights_path):
+        from .models.inception import load_torch_inception
+        inception_params = load_torch_inception(inception_weights_path)
+    else:
+        print("Warning: no Inception weights; IS/FID disabled")
+
+    trainer = Trainer(cfg, te_params, gen_path_save, image_save_path,
+                      code2word=train_ds.code2word,
+                      inception_params=inception_params, seed=seed)
+
+    histories = trainer.fit(train_loader, test_loader,
+                            num_epochs=num_epochs, auto_resume=True)
+
+    for epoch in range(len(histories["g_losses"])):
+        print(f"Epoch {epoch + 1}: "
+              f"G Loss: {histories['g_losses'][epoch]:.4f}, "
+              f"D Loss: {histories['d_losses'][epoch]:.4f}, "
+              f"D GP Loss: {histories['d_gp_losses'][epoch]:.4f}, "
+              f"Text-Image Loss: {histories['txtimg_losses'][epoch]:.4f}, "
+              f"IS: {histories['is_scores'][epoch]:.4f}, "
+              f"FID: {histories['fid_scores'][epoch]:.4f}")
+    return histories
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train the TPU-native DF-GAN")
+    p.add_argument("--data", required=True)
+    p.add_argument("--text-encoder", default=None)
+    p.add_argument("--inception", default=None)
+    p.add_argument("--images", default="gen_images")
+    p.add_argument("--weights", default="gen_weights")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=24)
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--seed", type=int, default=123321)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    a = p.parse_args()
+    train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
+          a.batch_size, a.epochs, a.seed, a.inception, a.dtype)
+
+
+if __name__ == "__main__":
+    main()

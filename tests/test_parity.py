@@ -183,7 +183,7 @@ class TestTextEncoderParity:
             e = emb(torch.from_numpy(caps.astype(np.int64)))
             _, (h_n, _) = lstm(e)
             want = h_n.transpose(0, 1).reshape(4, -1)
-        allclose(got, want.numpy(), atol=1e-5, rtol=1e-5)
+        allclose(got, want.numpy(), atol=5e-5, rtol=5e-4)
 
     def test_random_init_shapes(self):
         cfg = TextEncoderConfig(vocab_size=64, embed_dim=10, hidden_dim=8,

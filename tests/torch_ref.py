@@ -13,7 +13,34 @@ import torch.nn.functional as F
 
 
 def j2t(x) -> torch.Tensor:
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x).copy())
+
+
+def to_torch_tree(params, requires_grad: bool = False):
+    """Convert a JAX param pytree to torch tensors, preserving JAX layouts
+    (HWIO conv kernels, [in,out] dense). The functional oracles permute on the
+    fly, so autograd grads land in the same layout as JAX grads."""
+    if isinstance(params, dict):
+        return {k: to_torch_tree(v, requires_grad) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        return [to_torch_tree(v, requires_grad) for v in params]
+    t = torch.from_numpy(np.asarray(params).copy())
+    if requires_grad and t.is_floating_point():
+        t.requires_grad_()
+    return t
+
+
+def tree_leaves(params):
+    if isinstance(params, dict):
+        for k in sorted(params):
+            yield from tree_leaves(params[k])
+    elif isinstance(params, (list, tuple)):
+        for v in params:
+            yield from tree_leaves(v)
+    else:
+        yield params
 
 
 def conv_w(params) -> torch.Tensor:

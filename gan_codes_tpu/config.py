@@ -38,6 +38,7 @@ class GeneratorConfig:
     affine_hidden: int = 256
     image_size: int = 256
     base_size: int = 4  # spatial size of the reshaped latent seed
+    use_pallas: bool = False  # fused Pallas DFBlock modulation kernel
 
     @property
     def n_up_blocks(self) -> int:

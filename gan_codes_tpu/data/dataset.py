@@ -71,8 +71,14 @@ class CUBDataset:
         with open(filenames_path, "rb") as f:
             self.file_names: List[str] = pickle.load(f)
 
-        self.bbox = load_bbox_table(os.path.join(data_dir, "bounding_boxes.txt"),
-                                    os.path.join(data_dir, "images.txt"))
+        # bbox files are a CUB-ism; COCO-style datasets (BASELINE config 4)
+        # ship the same pickles without them — crop falls back to full frame.
+        bbox_path = os.path.join(data_dir, "bounding_boxes.txt")
+        images_path = os.path.join(data_dir, "images.txt")
+        if os.path.isfile(bbox_path) and os.path.isfile(images_path):
+            self.bbox = load_bbox_table(bbox_path, images_path)
+        else:
+            self.bbox = {}
         self.n_words = len(self.code2word)
 
     def __len__(self) -> int:

@@ -49,7 +49,8 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
 
     n_up = cfg.n_up_blocks
     for i, block_params in enumerate(params["blocks"]):
-        x = blocks.res_block_g(block_params, x, sentence_embed)
+        x = blocks.res_block_g(block_params, x, sentence_embed,
+                               use_pallas=cfg.use_pallas)
         if i < n_up:
             x = nn.upsample_nearest_2x(x)
 

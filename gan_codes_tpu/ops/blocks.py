@@ -49,14 +49,15 @@ def init_res_block_g(key: jax.Array, in_ch: int, out_ch: int,
     return p
 
 
-def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray) -> jnp.ndarray:
+def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray,
+                use_pallas: bool = False) -> jnp.ndarray:
     # DFBlock 1
-    h = fusion.affine_leaky(params["affine_1"], x, sentence_embed)
-    h = fusion.affine_leaky(params["affine_2"], h, sentence_embed)
+    h = fusion.double_affine_leaky(params["affine_1"], params["affine_2"],
+                                   x, sentence_embed, use_pallas)
     h = nn.conv2d(params["conv_1"], h, stride=1, padding=1)
     # DFBlock 2
-    h = fusion.affine_leaky(params["affine_3"], h, sentence_embed)
-    h = fusion.affine_leaky(params["affine_4"], h, sentence_embed)
+    h = fusion.double_affine_leaky(params["affine_3"], params["affine_4"],
+                                   h, sentence_embed, use_pallas)
     h = nn.conv2d(params["conv_2"], h, stride=1, padding=1)
 
     shortcut = x

@@ -71,3 +71,27 @@ def affine_leaky(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray,
     """
     gamma, beta = affine_params(params, sentence_embed)
     return nn.leaky_relu(modulate(x, gamma, beta), negative_slope)
+
+
+def double_affine_leaky(params_a: Params, params_b: Params, x: jnp.ndarray,
+                        sentence_embed: jnp.ndarray,
+                        use_pallas: bool = False) -> jnp.ndarray:
+    """The full DFBlock pre-conv chain:
+    lrelu(affine_b(lrelu(affine_a(x)))) — two modulations + two activations.
+
+    With `use_pallas=True` the four elementwise passes run as ONE Pallas VMEM
+    pass (`ops/pallas/fused_affine.py`) with a fused backward; otherwise the
+    jnp composition (XLA's own fusion). The gamma/beta MLPs are tiny MXU
+    matmuls and stay in XLA either way.
+    """
+    g1, b1 = affine_params(params_a, sentence_embed)
+    g2, b2 = affine_params(params_b, sentence_embed)
+    if use_pallas:
+        from .pallas.fused_affine import fused_double_affine_leaky
+
+        return fused_double_affine_leaky(x, g1.astype(x.dtype),
+                                         b1.astype(x.dtype),
+                                         g2.astype(x.dtype),
+                                         b2.astype(x.dtype))
+    h = nn.leaky_relu(modulate(x, g1, b1))
+    return nn.leaky_relu(modulate(h, g2, b2))

@@ -26,6 +26,7 @@ from ..eval.metrics import compute_is_fid
 from ..models.generator import generator_apply
 from ..models.text_encoder import text_encoder_apply
 from ..utils import image_io
+from ..utils.profiling import MetricsLogger
 from .checkpoint import CheckpointManager, empty_histories
 from .state import TrainState, create_train_state
 from .step import make_train_step
@@ -48,6 +49,8 @@ class Trainer:
 
         self.ckpt = CheckpointManager(checkpoint_dir,
                                       cfg.train.numbered_checkpoint_every)
+        self.metrics_log = MetricsLogger(
+            os.path.join(checkpoint_dir, "metrics_log.jsonl"))
 
         seed = cfg.train.seed if seed is None else seed
         init_key = jax.random.PRNGKey(seed)
@@ -181,6 +184,13 @@ class Trainer:
             self.ckpt.save(epoch, self.state, histories)
 
             dt = time.time() - t0
+            self.metrics_log.log(
+                int(self.state.step), epoch=epoch, epoch_seconds=dt,
+                g_loss=histories["g_losses"][-1],
+                d_loss=histories["d_losses"][-1],
+                d_gp_loss=histories["d_gp_losses"][-1],
+                txtimg_loss=histories["txtimg_losses"][-1],
+                is_score=is_score, fid_score=fid_score)
             print(f"Epoch {epoch + 1}: "
                   f"G Loss: {histories['g_losses'][-1]:.4f}, "
                   f"D Loss: {histories['d_losses'][-1]:.4f}, "

@@ -26,7 +26,7 @@ REF_IMAGES_PER_SEC = 30.0  # estimated PyTorch reference on V100-class GPU
 
 
 def bench_step(compute_dtype: str, batch: int, iters: int = 10,
-               image_size: int = 256) -> float:
+               image_size: int = 256, gp_dtype: str = "float32") -> float:
     """Time `iters` train steps rolled into ONE device program via lax.scan.
 
     Per-dispatch Python-loop timing is unreliable through this image's remote
@@ -41,8 +41,13 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
     from gan_codes_tpu.train.state import create_train_state
     from gan_codes_tpu.train.step import make_train_step
 
+    import dataclasses
+
     cfg = GANConfig.for_image_size(image_size, batch_size=batch,
                                    compute_dtype=compute_dtype)
+    if gp_dtype != "float32":
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, gp_compute_dtype=gp_dtype))
     key = jax.random.PRNGKey(0)
     state = jax.jit(lambda k: create_train_state(k, cfg))(key)
     te_params = init_text_encoder(key, cfg.text_encoder)
@@ -74,17 +79,18 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
 def main():
     results = {}
     candidates = [
-        ("float32", 24),   # the reference operating point
-        ("bfloat16", 24),
-        ("bfloat16", 64),  # TPU-friendly larger batch
+        ("float32", 24, "float32"),   # the reference operating point
+        ("bfloat16", 64, "float32"),  # TPU-friendly larger batch
+        ("bfloat16", 128, "bfloat16"),  # fastest: bf16 GP (fp32 norm math)
     ]
-    for dtype, batch in candidates:
+    for dtype, batch, gp in candidates:
+        label = f"{dtype}_bs{batch}" + ("_gpbf16" if gp != "float32" else "")
         try:
-            ips = bench_step(dtype, batch)
-            results[f"{dtype}_bs{batch}"] = ips
-            print(f"[bench] {dtype} bs={batch}: {ips:.2f} img/s", file=sys.stderr)
+            ips = bench_step(dtype, batch, gp_dtype=gp)
+            results[label] = ips
+            print(f"[bench] {label}: {ips:.2f} img/s", file=sys.stderr)
         except Exception as e:
-            print(f"[bench] {dtype} bs={batch} failed: {e}", file=sys.stderr)
+            print(f"[bench] {label} failed: {e}", file=sys.stderr)
 
     if not results:
         print(json.dumps({"metric": "images_per_sec_per_chip_256px_train_step",

@@ -140,6 +140,10 @@ class LossConfig:
     # that (weight 0.0 = logged only) but expose the weight.
     damsm_weight: float = 0.0
     nan_guard: bool = True
+    # MA-GP phase compute dtype: "float32" (reference numerics; default) or
+    # "bfloat16" (grad-of-grad D forward in bf16, norm/penalty math still
+    # fp32 — measured ~30% faster GP phase on v5e).
+    gp_compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

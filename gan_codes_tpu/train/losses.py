@@ -68,8 +68,10 @@ def ma_gradient_penalty(d_embeds_fn: Callable, d_logits_fn: Callable,
         real_images, sentence_embeds)
 
     b = real_images.shape[0]
+    # norm/penalty math always in fp32 (matters when the D forward runs bf16)
     flat = jnp.concatenate(
-        [g_img.reshape(b, -1), g_sent.reshape(b, -1)], axis=1)
+        [g_img.reshape(b, -1), g_sent.reshape(b, -1)], axis=1
+    ).astype(jnp.float32)
     norm = jnp.sqrt(jnp.sum(flat ** 2, axis=1) + cfg.gp_eps)
     norm = jnp.clip(norm, 0.0, cfg.gp_norm_clip)
     return cfg.gp_coef * jnp.mean(norm ** cfg.gp_power)

@@ -80,9 +80,15 @@ def make_train_step(cfg: GANConfig):
         images_c = images.astype(cdtype)
         sents_c = sents.astype(cdtype)
 
-        # Fakes for the D phase: forward G once, detached (`model.py:182-185`).
-        fake = generator_apply(_cast(state.g_params, cdtype), gen_cfg,
-                               noise.astype(cdtype), sents_c)
+        # ONE generator forward for the whole step. The reference reuses its
+        # `fake_images` tensor across the D and G phases (`model.py:182-215`);
+        # here jax.vjp gives us the same reuse — the forward runs once and the
+        # G-phase gradient comes from the saved linearization instead of a
+        # second forward.
+        fake, g_vjp = jax.vjp(
+            lambda gp: generator_apply(_cast(gp, cdtype), gen_cfg,
+                                       noise.astype(cdtype), sents_c),
+            state.g_params)
         fake_detached = jax.lax.stop_gradient(fake)
 
         # ---- Phase 1: D hinge (adversarial + mismatch) ----
@@ -99,11 +105,17 @@ def make_train_step(cfg: GANConfig):
         d_params_1 = optax.apply_updates(state.d_params, d_updates)
 
         # ---- Phase 2: MA-GP on the post-phase-1 D (`model.py:200-210`) ----
-        # fp32 throughout: grad-of-grad norms are precision-sensitive.
+        # D forward dtype is configurable (fp32 = reference numerics; bf16 is
+        # ~30% faster); the norm/penalty math is always fp32 inside
+        # ma_gradient_penalty.
+        gp_dtype = (jnp.bfloat16 if loss_cfg.gp_compute_dtype == "bfloat16"
+                    else jnp.float32)
+
         def gp_loss_fn(d_params):
             return losses.ma_gradient_penalty(
-                discriminator_embeds, discriminator_logits, d_params,
-                images.astype(jnp.float32), sents.astype(jnp.float32),
+                discriminator_embeds, discriminator_logits,
+                _cast(d_params, gp_dtype),
+                images.astype(gp_dtype), sents.astype(gp_dtype),
                 loss_cfg)
 
         gp_loss, gp_grads = jax.value_and_grad(gp_loss_fn)(d_params_1)
@@ -112,24 +124,23 @@ def make_train_step(cfg: GANConfig):
         d_params_2 = optax.apply_updates(d_params_1, gp_updates)
 
         # ---- Phase 3: G step against the post-phase-2 D (`model.py:214-228`).
-        # The reference reuses the tensor `fake_images`; regenerating with the
-        # same noise/params yields the same values while giving JAX the
-        # forward graph to differentiate.
+        # The D forward differentiates w.r.t. the *fake images*; the cotangent
+        # then flows through the saved G linearization (g_vjp) — no second
+        # generator forward.
         d_params_2_c = _cast(d_params_2, cdtype)
 
-        def g_loss_fn(g_params):
-            fake2 = generator_apply(_cast(g_params, cdtype), gen_cfg,
-                                    noise.astype(cdtype), sents_c)
+        def g_loss_from_fake(fake_in):
             adv = losses.g_hinge_loss(
                 discriminator_embeds, discriminator_logits, d_params_2_c,
-                fake2, sents_c).astype(jnp.float32)
+                fake_in, sents_c).astype(jnp.float32)
             txtimg = losses.damsm_cosine_loss(
-                fake2.astype(jnp.float32), sents).astype(jnp.float32)
+                fake_in.astype(jnp.float32), sents).astype(jnp.float32)
             total = adv + loss_cfg.damsm_weight * txtimg
             return total, (adv, txtimg)
 
-        (g_total, (g_adv, txtimg_loss)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (g_total, (g_adv, txtimg_loss)), d_fake = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True)(fake)
+        (g_grads,) = g_vjp(d_fake.astype(fake.dtype))
         g_adv, g_grads = guard(g_adv, g_grads, k_g)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)

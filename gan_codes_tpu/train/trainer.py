@@ -106,16 +106,18 @@ class Trainer:
         params = self.state.g_ema_params if use_ema else self.state.g_params
         return self._sample_fn(params, noise, sents)
 
-    def evaluate(self, test_loader) -> Tuple[float, float, Any, Any, Any]:
+    def evaluate(self, test_loader,
+                 use_ema: bool = False) -> Tuple[float, float, Any, Any, Any]:
         """Per-epoch eval (`model.py:239-280`): generate fakes for up to
-        `eval_max_batches` test batches, compute IS + FID."""
+        `eval_max_batches` test batches, compute IS + FID. `use_ema=True`
+        evaluates the EMA generator (BASELINE config 5)."""
         reals, fakes = [], []
         last = None
         for i, batch in enumerate(test_loader):
             if i >= self.cfg.train.eval_max_batches:
                 break
             images, captions, cap_lens = self._device_batch(batch)
-            fake = self.generate(captions, cap_lens)
+            fake = self.generate(captions, cap_lens, use_ema=use_ema)
             reals.append(images)
             fakes.append(fake)
             last = (fake, batch["captions"], batch["cap_lens"])

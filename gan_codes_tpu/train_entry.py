@@ -25,7 +25,12 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           image_size: int = 256, batch_size: int = 24,
           num_epochs: int = 600, seed: int = 123321,
           inception_weights_path: Optional[str] = None,
-          compute_dtype: str = "float32"):
+          compute_dtype: str = "float32", debug_nans: bool = False):
+    if debug_nans:
+        # jax-native analogue of the reference's NaN guards (SURVEY §5):
+        # fail fast with a traceback instead of guarding silently.
+        import jax
+        jax.config.update("jax_debug_nans", True)
     root_key = fix_seed(seed)
 
     os.makedirs(image_save_path, exist_ok=True)
@@ -92,9 +97,12 @@ def main():
     p.add_argument("--seed", type=int, default=123321)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     a = p.parse_args()
     train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
-          a.batch_size, a.epochs, a.seed, a.inception, a.dtype)
+          a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
+          debug_nans=a.debug_nans)
 
 
 if __name__ == "__main__":

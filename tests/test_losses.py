@@ -208,3 +208,26 @@ class TestTrainStep:
         _, m2 = step(state, te_params, images, caps, lens)
         for k in m1:
             assert float(m1[k]) == float(m2[k]), k
+
+
+class TestGPDtypes:
+    def test_bf16_gp_close_to_fp32(self):
+        """gp_compute_dtype='bfloat16' (perf option) must track the fp32
+        reference within bf16 tolerance on a tiny D."""
+        kp, kr, ks = jax.random.split(KEY, 3)
+        p = init_discriminator(kp, D_CFG)
+        real = jax.random.normal(kr, (3, 16, 16, 3))
+        sents = jax.random.normal(ks, (3, 10))
+        cfg = LossConfig()
+
+        def cast(tree, dt):
+            return jax.tree.map(lambda x: x.astype(dt), tree)
+
+        f32 = losses.ma_gradient_penalty(
+            discriminator_embeds, discriminator_logits, p, real, sents, cfg)
+        bf16 = losses.ma_gradient_penalty(
+            discriminator_embeds, discriminator_logits,
+            cast(p, jnp.bfloat16), real.astype(jnp.bfloat16),
+            sents.astype(jnp.bfloat16), cfg)
+        assert bf16.dtype == jnp.float32  # norm math stays fp32
+        np.testing.assert_allclose(float(bf16), float(f32), rtol=0.1)

@@ -1,0 +1,118 @@
+"""Resident inference sampler — the production "serve" path.
+
+The reference's serving story is `test_generate.py` (load weights, encode a
+prompt, one G forward per run of the script). This module keeps everything
+resident and jitted once: a `Sampler` holds generator (raw or EMA) + text
+encoder params on device, compiles the encode+generate pipeline at a fixed
+batch size (padding partial batches so XLA never retraces), and turns
+prompts/caption-token batches into images.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GANConfig
+from .generate import preprocess_caption
+from .models.generator import generator_apply
+from .models.text_encoder import text_encoder_apply
+
+Params = Any
+
+
+class Sampler:
+    """Batched prompt -> image inference with a single compiled pipeline."""
+
+    def __init__(self, cfg: GANConfig, g_params: Params,
+                 text_encoder_params: Params,
+                 word2code: Optional[Dict[str, int]] = None,
+                 batch_size: int = 8, seed: int = 0):
+        self.cfg = cfg
+        self.word2code = word2code
+        self.batch_size = batch_size
+        self._g_params = jax.device_put(g_params)
+        self._te_params = jax.device_put(text_encoder_params)
+        self._rng = jax.random.PRNGKey(seed)
+
+        def pipeline(g_params, te_params, captions, cap_lens, noise):
+            sents = text_encoder_apply(te_params, cfg.text_encoder,
+                                       captions, cap_lens)
+            return generator_apply(g_params, cfg.generator, noise, sents)
+
+        self._pipeline = jax.jit(pipeline)
+
+    def _next_noise(self, n: int) -> jnp.ndarray:
+        self._rng, k = jax.random.split(self._rng)
+        return jax.random.normal(k, (n, self.cfg.generator.latent_dim))
+
+    def generate_tokens(self, captions: np.ndarray,
+                        cap_lens: np.ndarray) -> np.ndarray:
+        """Token batch [N, T] + lengths [N] -> images [N, H, W, 3] in [-1,1].
+
+        N may be anything; batches are padded to `batch_size` so the compiled
+        program is reused for every call.
+        """
+        captions = np.asarray(captions, np.int32)
+        cap_lens = np.asarray(cap_lens, np.int32)
+        n = captions.shape[0]
+        bs = self.batch_size
+        outs = []
+        for i in range(0, n, bs):
+            c = captions[i: i + bs]
+            l = cap_lens[i: i + bs]
+            pad = bs - c.shape[0]
+            if pad:
+                c = np.concatenate([c, np.zeros((pad, c.shape[1]), c.dtype)])
+                l = np.concatenate([l, np.ones((pad,), l.dtype)])
+            img = self._pipeline(self._g_params, self._te_params,
+                                 jnp.asarray(c), jnp.asarray(l),
+                                 self._next_noise(bs))
+            outs.append(np.asarray(jax.device_get(img))[: bs - pad or bs])
+        return np.concatenate(outs, axis=0)[:n]
+
+    def generate_prompts(self, prompts: Sequence[str]) -> np.ndarray:
+        """Free-text prompts -> images (tokenization per reference
+        `test_generate.py:12-19`)."""
+        if self.word2code is None:
+            raise ValueError("Sampler needs word2code for free-text prompts")
+        caps, lens = [], []
+        for prompt in prompts:
+            c, l = preprocess_caption(prompt, self.word2code,
+                                      self.cfg.text_encoder.max_len)
+            caps.append(c[0])
+            lens.append(l[0])
+        return self.generate_tokens(np.stack(caps), np.asarray(lens))
+
+    def throughput(self, n_batches: int = 10) -> float:
+        """Measured images/sec through the compiled pipeline (one scan-rolled
+        dispatch; see bench.py for why per-dispatch timing is avoided)."""
+        import time
+
+        bs = self.batch_size
+        captions = jnp.ones((bs, self.cfg.text_encoder.max_len), jnp.int32)
+        cap_lens = jnp.full((bs,), self.cfg.text_encoder.max_len, jnp.int32)
+        g, te = self._g_params, self._te_params
+        cfg = self.cfg
+
+        @jax.jit
+        def run(noise):
+            def body(nz, _):
+                sents = text_encoder_apply(te, cfg.text_encoder, captions,
+                                           cap_lens)
+                img = generator_apply(g, cfg.generator, nz, sents)
+                return nz + 1e-6 * jnp.mean(img), None
+            out, _ = jax.lax.scan(body, noise, None, length=n_batches)
+            return out
+
+        noise = self._next_noise(bs)
+        o = run(noise)
+        jax.block_until_ready(o)
+        import time as _t
+        t0 = _t.perf_counter()
+        o = run(noise)
+        jax.block_until_ready(o)
+        dt = _t.perf_counter() - t0
+        return bs * n_batches / dt

@@ -50,20 +50,28 @@ def _features_batch(params, images):
     return inception_lib.inception_features(params, x)
 
 
+@functools.partial(jax.jit, static_argnames=("fn",))
+def _scan_batches(fn, params, batches):
+    """lax.scan fn over [n_batches, bs, ...]: ONE dispatch for the whole set
+    (a Python loop of dispatches pays a host round trip per batch)."""
+    def body(_, chunk):
+        return None, fn(params, chunk)
+    _, outs = jax.lax.scan(body, None, batches)
+    return outs
+
+
 def _batched(fn: Callable, params, images: jnp.ndarray,
              batch_size: int) -> np.ndarray:
-    """Run fn over fixed-size batches (pad the tail so XLA compiles once)."""
+    """Run fn over fixed-size batches (tail padded so XLA compiles once)."""
     n = images.shape[0]
-    outs = []
-    for i in range(0, n, batch_size):
-        chunk = images[i: i + batch_size]
-        pad = batch_size - chunk.shape[0]
-        if pad:
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        out = np.asarray(fn(params, chunk))
-        outs.append(out[: batch_size - pad] if pad else out)
-    return np.concatenate(outs, axis=0)
+    n_batches = -(-n // batch_size)
+    pad = n_batches * batch_size - n
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+    batches = images.reshape((n_batches, batch_size) + images.shape[1:])
+    outs = np.asarray(_scan_batches(fn, params, batches))
+    return outs.reshape((n_batches * batch_size,) + outs.shape[2:])[:n]
 
 
 def compute_inception_score(inception_params, images: jnp.ndarray,

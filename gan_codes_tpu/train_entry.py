@@ -11,7 +11,7 @@ import argparse
 import os
 from typing import Optional
 
-from .config import GANConfig
+from .config import DataConfig, GANConfig
 from .data.dataset import CUBDataset
 from .data.loader import DataLoader
 from .models.text_encoder import init_text_encoder, load_text_encoder
@@ -36,13 +36,9 @@ def train(data_path: str, encoder_weights_path: Optional[str],
     os.makedirs(image_save_path, exist_ok=True)
     os.makedirs(gen_path_save, exist_ok=True)
 
-    cfg = GANConfig.for_image_size(image_size)
-    train_ds = CUBDataset(
-        cfg.data.__class__(data_dir=data_path, image_size=image_size),
-        "train")
-    test_ds = CUBDataset(
-        cfg.data.__class__(data_dir=data_path, image_size=image_size),
-        "test", augment=False)
+    data_cfg = DataConfig(data_dir=data_path, image_size=image_size)
+    train_ds = CUBDataset(data_cfg, "train")
+    test_ds = CUBDataset(data_cfg, "test", augment=False)
     print(f"Test set size: {len(test_ds)} images")
 
     cfg = GANConfig.for_image_size(image_size, vocab_size=train_ds.n_words,

@@ -135,3 +135,24 @@ class TestInferencePaths:
         # OOV token maps to <unk> id
         unk = train_ds.word2code.get("<unk>", 0)
         assert caps[0, 3] == unk
+
+
+class TestTrainEntryFunction:
+    def test_train_function_end_to_end(self, tmp_path):
+        """The train() entry (reference `train.py:8-73`) on a tiny synthetic
+        dataset: builds loaders/config/trainer, runs, returns histories."""
+        from gan_codes_tpu.data.synthetic import make_synthetic_cub
+        from gan_codes_tpu.train_entry import train
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=4, n_test=2, image_size=24)
+        histories = train(
+            data_path=root, encoder_weights_path=None,
+            image_save_path=str(tmp_path / "imgs"),
+            gen_path_save=str(tmp_path / "weights"),
+            image_size=16, batch_size=2, num_epochs=1)
+        assert len(histories["g_losses"]) == 1
+        assert np.isfinite(histories["g_losses"][0])
+        import os
+        assert os.path.exists(str(tmp_path / "weights" / "checkpoint"))
+        assert os.path.exists(str(tmp_path / "weights" / "metrics_log.jsonl"))

@@ -1,0 +1,83 @@
+"""Utility-layer tests: profiling, image IO, plotting, batch helpers."""
+import json
+import os
+
+import numpy as np
+
+from gan_codes_tpu.data.loader import Batch
+from gan_codes_tpu.data.utils import normalize_images_np, sort_batch_by_length
+from gan_codes_tpu.utils import image_io, plotting
+from gan_codes_tpu.utils.profiling import MetricsLogger, StepTimer
+
+
+class TestProfiling:
+    def test_step_timer_skips_warmup(self):
+        import time
+        timer = StepTimer(skip_first=2)
+        for _ in range(5):
+            with timer:
+                time.sleep(0.001)
+        s = timer.summary()
+        assert s["steps"] == 3
+        assert s["mean_s"] > 0 and s["p95_s"] >= s["p50_s"]
+
+    def test_metrics_logger_jsonl(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        log = MetricsLogger(path)
+        log.log(1, g_loss=0.5, d_loss=2.0)
+        log.log(2, g_loss=0.4, d_loss=1.9)
+        log.close()
+        lines = [json.loads(l) for l in open(path)]
+        assert lines[0]["step"] == 1 and lines[0]["g_loss"] == 0.5
+        assert lines[1]["step"] == 2 and lines[1]["d_loss"] == 1.9
+
+
+class TestImageIO:
+    def test_denormalize_range(self):
+        img = np.array([[[-1.0, 0.0, 1.0]]], np.float32)
+        out = image_io.denormalize_to_uint8(img)
+        np.testing.assert_array_equal(out[0, 0], [0, 127, 255])
+
+    def test_save_image_slash_safe(self, tmp_path):
+        img = np.zeros((8, 8, 3), np.float32)
+        path = image_io.save_image(img, str(tmp_path), "001.Bird/img_01")
+        assert os.path.basename(path) == "001.Bird_img_01.png"
+        assert os.path.exists(path)
+
+    def test_grid_shape(self, tmp_path):
+        imgs = np.zeros((5, 8, 8, 3), np.float32)
+        path = image_io.save_image_grid(imgs, str(tmp_path / "g.png"))
+        assert os.path.exists(path)
+
+    def test_decode_caption(self):
+        cap = np.array([3, 2, 0, 0])
+        s = image_io.decode_caption(cap, 2, {3: "red", 2: "bird"})
+        assert s == "red bird"
+        s2 = image_io.decode_caption(cap, 2, None)
+        assert s2 == "[3] [2]"
+
+
+class TestPlotting:
+    def test_plot_losses_and_metrics(self, tmp_path):
+        p1 = plotting.plot_losses([1.0, 0.5], [2.0, 1.8], [0.1, 0.2],
+                                  str(tmp_path / "l.png"))
+        p2 = plotting.plot_metrics([100.0, 80.0], [1.5, 2.0],
+                                   epochs=[0, 1],
+                                   path_save=str(tmp_path / "m.png"))
+        assert os.path.exists(p1) and os.path.exists(p2)
+
+
+class TestBatchHelpers:
+    def test_sort_by_length_descending(self):
+        batch = Batch(images=np.arange(4)[:, None],
+                      captions=np.arange(8).reshape(4, 2),
+                      cap_lens=np.array([2, 5, 1, 5]),
+                      file_names=["a", "b", "c", "d"])
+        out = sort_batch_by_length(batch)
+        assert out["cap_lens"].tolist() == [5, 5, 2, 1]
+        assert out["file_names"] == ["b", "d", "a", "c"]  # stable
+
+    def test_normalize_np(self):
+        u8 = np.array([0, 127.5, 255], np.uint8)
+        out = normalize_images_np(u8)
+        assert out.min() >= -1.0 and out.max() <= 1.0

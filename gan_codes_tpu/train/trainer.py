@@ -39,9 +39,12 @@ class Trainer:
                  checkpoint_dir: str, image_dir: str,
                  code2word: Optional[Dict[int, str]] = None,
                  inception_params: Optional[Params] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, mesh=None):
+        """`mesh`: a jax.sharding.Mesh with a `cfg.train.data_axis` axis for
+        data-parallel training (BASELINE config 4) — state replicated, batch
+        sharded, psum over ICI. None = single device."""
         self.cfg = cfg
-        self.text_encoder_params = jax.device_put(text_encoder_params)
+        self.mesh = mesh
         self.image_dir = image_dir
         self.code2word = code2word  # wired from the dataset (`train.py:31`)
         self.inception_params = inception_params
@@ -58,7 +61,15 @@ class Trainer:
         self.state: TrainState = jax.jit(
             lambda k: create_train_state(k, cfg))(init_key)
 
-        self._step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+        if mesh is not None:
+            from ..parallel.dp import make_parallel_train_step, replicate
+
+            self.state = replicate(mesh, self.state)
+            self.text_encoder_params = replicate(mesh, text_encoder_params)
+            self._step_fn = make_parallel_train_step(cfg, mesh)
+        else:
+            self.text_encoder_params = jax.device_put(text_encoder_params)
+            self._step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
         self._normalize = jax.jit(
             lambda u8: u8.astype(jnp.float32) / 127.5 - 1.0)
         self._sample_fn = jax.jit(
@@ -72,11 +83,19 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
-        images = jax.device_put(batch["images"])
+        if self.mesh is not None:
+            from ..parallel.dp import shard_batch
+
+            images, captions, cap_lens = shard_batch(
+                self.mesh, self.cfg, batch["images"], batch["captions"],
+                batch["cap_lens"])
+        else:
+            images = jax.device_put(batch["images"])
+            captions = jax.device_put(batch["captions"])
+            cap_lens = jax.device_put(batch["cap_lens"])
         if images.dtype == jnp.uint8:
             images = self._normalize(images)
-        return (images, jax.device_put(batch["captions"]),
-                jax.device_put(batch["cap_lens"]))
+        return images, captions, cap_lens
 
     def train_epoch(self, train_loader) -> Dict[str, float]:
         metric_accum: Dict[str, List[jnp.ndarray]] = {}

@@ -25,7 +25,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           image_size: int = 256, batch_size: int = 24,
           num_epochs: int = 600, seed: int = 123321,
           inception_weights_path: Optional[str] = None,
-          compute_dtype: str = "float32", debug_nans: bool = False):
+          compute_dtype: str = "float32", debug_nans: bool = False,
+          data_parallel: bool = False):
     if debug_nans:
         # jax-native analogue of the reference's NaN guards (SURVEY §5):
         # fail fast with a traceback instead of guarding silently.
@@ -62,9 +63,16 @@ def train(data_path: str, encoder_weights_path: Optional[str],
     else:
         print("Warning: no Inception weights; IS/FID disabled")
 
+    mesh = None
+    if data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"Data-parallel over mesh: {dict(mesh.shape)}")
+
     trainer = Trainer(cfg, te_params, gen_path_save, image_save_path,
                       code2word=train_ds.code2word,
-                      inception_params=inception_params, seed=seed)
+                      inception_params=inception_params, seed=seed, mesh=mesh)
 
     histories = trainer.fit(train_loader, test_loader,
                             num_epochs=num_epochs, auto_resume=True)
@@ -95,10 +103,12 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel over all devices (batch sharded)")
     a = p.parse_args()
     train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
           a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
-          debug_nans=a.debug_nans)
+          debug_nans=a.debug_nans, data_parallel=a.dp)
 
 
 if __name__ == "__main__":

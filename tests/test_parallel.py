@@ -88,3 +88,41 @@ class TestDPEquivalence:
         assert int(state_r.step) == 3
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
+
+
+class TestTrainerDP:
+    def test_trainer_fit_on_mesh(self, setup, tmp_path):
+        """Full Trainer engine (fit + eval + checkpoint) over the 8-device
+        mesh — the DP end-to-end path (BASELINE config 4)."""
+        import os
+
+        from gan_codes_tpu.data import DataLoader, CUBDataset, make_synthetic_cub
+        from gan_codes_tpu.config import (DataConfig, GANConfig,
+                                          GeneratorConfig,
+                                          DiscriminatorConfig,
+                                          TextEncoderConfig, TrainConfig)
+        from gan_codes_tpu.models.text_encoder import init_text_encoder
+        from gan_codes_tpu.train.trainer import Trainer
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=16, n_test=8, image_size=16)
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+            text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                           hidden_dim=256, max_len=18),
+            train=TrainConfig(batch_size=8, eval_max_batches=1),
+        )
+        mesh = make_mesh()
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        ds_cfg = DataConfig(data_dir=root, image_size=16)
+        trainer = Trainer(cfg, te, str(tmp_path / "ckpt"),
+                          str(tmp_path / "imgs"), mesh=mesh)
+        train_loader = DataLoader(CUBDataset(ds_cfg, "train"), 8, seed=0)
+        test_loader = DataLoader(CUBDataset(ds_cfg, "test"), 8, shuffle=False)
+        hist = trainer.fit(train_loader, test_loader, num_epochs=1,
+                           auto_resume=False)
+        assert len(hist["g_losses"]) == 1
+        assert np.isfinite(hist["g_losses"][0])
+        assert int(trainer.state.step) == 2  # 16 items / bs 8
+        assert os.path.exists(str(tmp_path / "ckpt" / "checkpoint"))

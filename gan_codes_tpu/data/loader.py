@@ -29,17 +29,25 @@ class DataLoader:
     def __init__(self, dataset: CUBDataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
                  seed: int = 123321, num_threads: int = 8,
-                 prefetch: int = 2):
+                 prefetch: int = 2, shard_id: int = 0, num_shards: int = 1):
+        """`shard_id`/`num_shards`: per-host input sharding for multi-host DP
+        (pass jax.process_index()/jax.process_count()); each host reads a
+        disjoint interleaved slice of the epoch permutation, all hosts seeded
+        identically so the global epoch order is consistent."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = num_threads
         self.prefetch = prefetch
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_item(self, idx: int, seed: int):
@@ -61,6 +69,8 @@ class DataLoader:
     def __iter__(self) -> Iterator[Batch]:
         n = len(self.dataset)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
         if self.drop_last:
             order = order[: (n // self.batch_size) * self.batch_size]
         batches = [order[i: i + self.batch_size]

@@ -83,3 +83,23 @@ class TestLoader:
         loader = DataLoader(ds, 4, shuffle=False)
         batch = next(iter(loader))
         assert batch.file_names == ds.file_names[:4]
+
+
+class TestShardedLoader:
+    def test_shards_are_disjoint_and_cover(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        seen = []
+        for shard in range(2):
+            loader = DataLoader(ds, 2, seed=9, shard_id=shard, num_shards=2)
+            for b in loader:
+                seen.extend(b.file_names)
+        assert len(seen) == len(set(seen)) == 8  # disjoint, full coverage
+
+    def test_shard_len(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        assert len(DataLoader(ds, 2, num_shards=2)) == 2  # 8/2 shards / bs2
+
+    def test_bad_shard_id(self, cub_root):
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        with pytest.raises(ValueError):
+            DataLoader(ds, 2, shard_id=2, num_shards=2)

@@ -104,3 +104,50 @@ class TestBlockIntegration:
         fused = generator_apply(p, cfg_p, noise, sent)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestFusedModConv:
+    """Fused modulation+conv3x3 kernel vs the XLA composition."""
+
+    def _inputs(self, b=2, h=16, w=16, cin=8, cout=16):
+        from gan_codes_tpu.ops import nn
+        ks = jax.random.split(jax.random.PRNGKey(3), 7)
+        x = jax.random.normal(ks[0], (b, h, w, cin))
+        g1 = jax.random.normal(ks[1], (b, cin))
+        b1 = jax.random.normal(ks[2], (b, cin))
+        g2 = jax.random.normal(ks[3], (b, cin))
+        b2 = jax.random.normal(ks[4], (b, cin))
+        conv = nn.torch_conv_init(ks[5], 3, 3, cin, cout)
+        return x, g1, b1, g2, b2, conv["w"], conv["b"]
+
+    def test_forward_matches_xla(self):
+        from gan_codes_tpu.ops.pallas.fused_modconv import (
+            _xla_composition, fused_modconv3x3)
+        args = self._inputs()
+        got = fused_modconv3x3(*args)
+        want = _xla_composition(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_forward_under_jit_multi_tile(self):
+        from gan_codes_tpu.ops.pallas.fused_modconv import (
+            _xla_composition, fused_modconv3x3)
+        args = self._inputs(b=1, h=32, w=8, cin=4, cout=4)
+        got = jax.jit(fused_modconv3x3)(*args)
+        want = _xla_composition(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_xla(self):
+        from gan_codes_tpu.ops.pallas.fused_modconv import (
+            _xla_composition, fused_modconv3x3)
+        args = self._inputs(b=2, h=8, w=8, cin=4, cout=8)
+
+        def lf(fn):
+            return lambda *a: jnp.sum(jnp.tanh(fn(*a)))
+
+        got = jax.grad(lf(fused_modconv3x3), argnums=tuple(range(7)))(*args)
+        want = jax.grad(lf(_xla_composition), argnums=tuple(range(7)))(*args)
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       atol=1e-4, rtol=1e-4)

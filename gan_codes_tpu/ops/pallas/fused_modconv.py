@@ -49,15 +49,34 @@ def _pick_row_tile(h: int, w: int, cin: int, dtype_bytes: int = 4) -> int:
 
 def _kernel(x_hbm, g1_ref, b1_ref, g2_ref, b2_ref, w_ref, bias_ref, o_ref,
             x_vmem, sem, *, tile_h: int, out_w: int):
+    """Double-buffered: the halo DMA for grid step k+1 is issued before the
+    compute of step k, hiding HBM latency behind the matmuls. Scratch
+    persists across the sequential TPU grid, so slot k%2 alternates."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    k = b * n_i + i
+    n_k = pl.num_programs(0) * n_i
+    slot = jax.lax.rem(k, 2)
+    next_slot = 1 - slot
 
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * tile_h, tile_h + 2)], x_vmem, sem)
-    copy.start()
-    copy.wait()
+    def dma(for_k, to_slot):
+        bb = jax.lax.div(for_k, n_i)
+        ii = jax.lax.rem(for_k, n_i)
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * tile_h, tile_h + 2)],
+            x_vmem.at[to_slot], sem.at[to_slot])
 
-    x = x_vmem[...]  # [tile_h+2, W+2, Cin]
+    @pl.when(k == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(k + 1 < n_k)
+    def _():
+        dma(k + 1, next_slot).start()
+
+    dma(k, slot).wait()
+    x = x_vmem[slot]  # [tile_h+2, W+2, Cin]
     g1 = g1_ref[0, 0][None, None, :]
     b1 = b1_ref[0, 0][None, None, :]
     g2 = g2_ref[0, 0][None, None, :]
@@ -100,7 +119,13 @@ def _fused_forward(x, g1, b1, g2, b2, w, bias):
     n, h, wdt, cin = x.shape
     cout = w.shape[-1]
     tile_h = _pick_row_tile(h, wdt, cin)
-    x_padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Width must land 8-sublane-aligned: manual DMA slices of an HBM array
+    # whose second-to-last dim isn't a multiple of 8 FAULT the TPU worker
+    # (root-caused empirically; rows — dim 1 — may be sliced freely). Pad
+    # W+2 up to the next multiple of 8; the in-kernel validity mask already
+    # zeroes columns beyond W+1.
+    w_pad = -(-(wdt + 2) // 8) * 8
+    x_padded = jnp.pad(x, ((0, 0), (1, 1), (1, w_pad - wdt - 1), (0, 0)))
 
     grid = (n, h // tile_h)
     vec = pl.BlockSpec((1, 1, cin), lambda b, i: (b, 0, 0))
@@ -118,8 +143,8 @@ def _fused_forward(x, g1, b1, g2, b2, w, bias):
                                lambda b, i: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt, cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, wdt + 2, cin), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2, w_pad, cin), x.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(x_padded, g1[:, None, :], b1[:, None, :], g2[:, None, :],
@@ -140,16 +165,14 @@ def _xla_composition(x, g1, b1, g2, b2, w, bias):
 
 
 def _supported(x) -> bool:
-    """STATUS: the Pallas path is currently enabled only under the
-    interpreter (CPU tests), where it is numerically exact. On real TPU the
-    kernel compiles (with Cin % 128 == 0 — Mosaic's HBM lane-alignment rule
-    for manual DMA slices) but faults the worker at runtime; until that is
-    root-caused, hardware execution uses the XLA composition, which profiling
-    shows is already well-fused (CLAUDE.md perf notes)."""
+    """On real TPU the manual-DMA path additionally requires lane-aligned
+    channels (Cin % 128 == 0 — Mosaic rejects HBM slices of lane-padded
+    arrays); other shapes fall back to the XLA composition. The width
+    (sublane) alignment is handled internally by padding."""
     h, _, cin = x.shape[1:]
     if h % _pick_row_tile(h, x.shape[2], cin) != 0:
         return False
-    return _interpret()
+    return _interpret() or cin % 128 == 0
 
 
 @jax.custom_vjp

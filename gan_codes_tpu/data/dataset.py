@@ -80,6 +80,15 @@ class CUBDataset:
         else:
             self.bbox = {}
         self.n_words = len(self.code2word)
+        self._print_info(captions_path, filenames_path)
+
+    def _print_info(self, captions_path: str, filenames_path: str) -> None:
+        """Dataset info dump (reference `objects/dataset.py:58-63`)."""
+        print(f"Total filenames: {len(self.bbox)}")
+        print(f"Load captions from: {captions_path}")
+        print(f"Load file names from: {filenames_path} ({len(self.file_names)})")
+        print(f"Dictionary size: {self.n_words}")
+        print(f"Embeddings number: {self.cfg.embeddings_num}")
 
     def __len__(self) -> int:
         return len(self.file_names)

@@ -231,3 +231,68 @@ class TestGPDtypes:
             sents.astype(jnp.bfloat16), cfg)
         assert bf16.dtype == jnp.float32  # norm math stays fp32
         np.testing.assert_allclose(float(bf16), float(f32), rtol=0.1)
+
+
+class TestComputeDtypeConfigs:
+    def _cfg(self, **loss_kw):
+        import dataclasses
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+            text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                           hidden_dim=256, max_len=6),
+            train=TrainConfig(batch_size=4, compute_dtype="bfloat16"),
+        )
+        if loss_kw:
+            cfg = dataclasses.replace(
+                cfg, loss=dataclasses.replace(cfg.loss, **loss_kw))
+        return cfg
+
+    def test_bf16_step_keeps_fp32_master_params(self):
+        """The bf16 operating point (BASELINE config 5): bf16 compute, fp32
+        master params/optimizer, finite losses."""
+        cfg = self._cfg(gp_compute_dtype="bfloat16")
+        state = create_train_state(KEY, cfg)
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        from gan_codes_tpu.train.step import make_train_step
+        step = jax.jit(make_train_step(cfg))
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        state2, metrics = step(state, te, images, caps, lens)
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+            assert v.dtype == jnp.float32, k
+        for leaf in jax.tree.leaves(state2.g_params):
+            assert leaf.dtype == jnp.float32
+
+    def test_damsm_weight_changes_g_grads(self):
+        """damsm_weight is a real knob: nonzero weight must alter the G
+        update (the reference never backpropagated it, `model.py:217-231`)."""
+        from gan_codes_tpu.train.step import make_train_step
+        te = None
+        results = []
+        for w in (0.0, 5.0):
+            cfg = GANConfig(
+                generator=GeneratorConfig(n_channels=4, image_size=16),
+                discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+                text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                               hidden_dim=256, max_len=6),
+            )
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, loss=dataclasses.replace(cfg.loss, damsm_weight=w))
+            state = create_train_state(KEY, cfg)
+            te = te or init_text_encoder(jax.random.PRNGKey(1),
+                                         cfg.text_encoder)
+            step = jax.jit(make_train_step(cfg))
+            images = jax.random.normal(KEY, (4, 16, 16, 3))
+            caps = jax.random.randint(KEY, (4, 6), 1, 30)
+            lens = jnp.array([2, 6, 3, 5])
+            s2, _ = step(state, te, images, caps, lens)
+            results.append([np.asarray(l) for l in jax.tree.leaves(s2.g_params)])
+        # compare across ALL leaves: block-internal params sit behind the
+        # gamma=0 residual gate at init and legitimately get zero grads
+        max_diff = max(np.abs(a - b).max()
+                       for a, b in zip(results[0], results[1]))
+        assert max_diff > 0.0, "damsm_weight had no effect on the G update"

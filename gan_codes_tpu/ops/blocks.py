@@ -49,16 +49,35 @@ def init_res_block_g(key: jax.Array, in_ch: int, out_ch: int,
     return p
 
 
+def _df_block(affine_a: Params, affine_b: Params, conv: Params,
+              x: jnp.ndarray, sentence_embed: jnp.ndarray,
+              use_pallas: bool) -> jnp.ndarray:
+    """One DFBlock: double affine-modulation+LeakyReLU then 3x3 conv.
+
+    With use_pallas, the whole block runs as the fused Pallas
+    modulation+conv kernel (`ops/pallas/fused_modconv.py`) when the shape
+    qualifies, else the fused modulation kernel + XLA conv."""
+    if use_pallas:
+        from .pallas.fused_modconv import _supported, fused_modconv3x3
+
+        if _supported(x):
+            g1, b1 = fusion.affine_params(affine_a, sentence_embed)
+            g2, b2 = fusion.affine_params(affine_b, sentence_embed)
+            return fused_modconv3x3(
+                x, g1.astype(x.dtype), b1.astype(x.dtype),
+                g2.astype(x.dtype), b2.astype(x.dtype),
+                conv["w"], conv["b"])
+    h = fusion.double_affine_leaky(affine_a, affine_b, x, sentence_embed,
+                                   use_pallas)
+    return nn.conv2d(conv, h, stride=1, padding=1)
+
+
 def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray,
                 use_pallas: bool = False) -> jnp.ndarray:
-    # DFBlock 1
-    h = fusion.double_affine_leaky(params["affine_1"], params["affine_2"],
-                                   x, sentence_embed, use_pallas)
-    h = nn.conv2d(params["conv_1"], h, stride=1, padding=1)
-    # DFBlock 2
-    h = fusion.double_affine_leaky(params["affine_3"], params["affine_4"],
-                                   h, sentence_embed, use_pallas)
-    h = nn.conv2d(params["conv_2"], h, stride=1, padding=1)
+    h = _df_block(params["affine_1"], params["affine_2"], params["conv_1"],
+                  x, sentence_embed, use_pallas)
+    h = _df_block(params["affine_3"], params["affine_4"], params["conv_2"],
+                  h, sentence_embed, use_pallas)
 
     shortcut = x
     if "shortcut_conv" in params:

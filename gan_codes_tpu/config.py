@@ -157,6 +157,7 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     numbered_checkpoint_every: int = 10
     ema_decay: float = 0.999  # EMA generator (BASELINE.json config 5; 0 disables)
+    eval_use_ema: bool = False  # evaluate/sample with the EMA generator
     compute_dtype: str = "float32"  # "bfloat16" for the bf16 operating point
     data_axis: str = "data"  # mesh axis name for data parallelism
 
@@ -191,11 +192,14 @@ class GANConfig:
 
     @staticmethod
     def for_image_size(image_size: int, n_channels: int = 32,
-                       vocab_size: int = 5450, **train_overrides) -> "GANConfig":
+                       vocab_size: int = 5450,
+                       loss_overrides: Optional[dict] = None,
+                       **train_overrides) -> "GANConfig":
         return GANConfig(
             generator=GeneratorConfig(n_channels=n_channels, image_size=image_size),
             discriminator=DiscriminatorConfig(n_channels=n_channels, image_size=image_size),
             text_encoder=TextEncoderConfig(vocab_size=vocab_size),
+            loss=LossConfig(**loss_overrides) if loss_overrides else LossConfig(),
             train=TrainConfig(**train_overrides) if train_overrides else TrainConfig(),
             data=DataConfig(image_size=image_size),
         )

@@ -73,14 +73,31 @@ class CUBDataset:
 
         # bbox files are a CUB-ism; COCO-style datasets (BASELINE config 4)
         # ship the same pickles without them — crop falls back to full frame.
-        bbox_path = os.path.join(data_dir, "bounding_boxes.txt")
-        images_path = os.path.join(data_dir, "images.txt")
-        if os.path.isfile(bbox_path) and os.path.isfile(images_path):
+        # Multi-location fallback mirrors the reference's search order
+        # (`objects/dataset.py:36-47`: data_dir, ../data, cwd/data), and a
+        # missing file WARNS loudly — silently training full-frame changes
+        # the data distribution.
+        bbox_path = self._find_aux_file(data_dir, "bounding_boxes.txt")
+        images_path = self._find_aux_file(data_dir, "images.txt")
+        if bbox_path and images_path:
             self.bbox = load_bbox_table(bbox_path, images_path)
         else:
+            print("Warning: bounding_boxes.txt/images.txt not found under "
+                  f"{data_dir!r}, ../data, or ./data — bbox cropping DISABLED, "
+                  "training on full frames")
             self.bbox = {}
         self.n_words = len(self.code2word)
         self._print_info(captions_path, filenames_path)
+
+    @staticmethod
+    def _find_aux_file(data_dir: str, name: str) -> Optional[str]:
+        """Search order of the reference (`objects/dataset.py:36-47`)."""
+        for cand in (os.path.join(data_dir, name),
+                     os.path.join("..", "data", name),
+                     os.path.join(os.getcwd(), "data", name)):
+            if os.path.isfile(cand):
+                return cand
+        return None
 
     def _print_info(self, captions_path: str, filenames_path: str) -> None:
         """Dataset info dump (reference `objects/dataset.py:58-63`)."""

@@ -46,8 +46,14 @@ class DataLoader:
         self.num_shards = num_shards
         self._rng = np.random.default_rng(seed)
 
+    def _shard_size(self) -> int:
+        """Number of items in this host's interleaved shard
+        (len(range(shard_id, n, num_shards)))."""
+        n = len(self.dataset)
+        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+
     def __len__(self) -> int:
-        n = len(self.dataset) // self.num_shards
+        n = self._shard_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_item(self, idx: int, seed: int):
@@ -72,11 +78,13 @@ class DataLoader:
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards]
         if self.drop_last:
-            order = order[: (n // self.batch_size) * self.batch_size]
+            order = order[: (len(order) // self.batch_size) * self.batch_size]
         batches = [order[i: i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
-        seeds = self._rng.integers(0, 2**63 - 1, size=len(order)).reshape(
-            len(batches), -1) if batches else np.zeros((0, 0), np.int64)
+        # per-batch seed arrays (the final batch may be short with
+        # drop_last=False, so a single (n_batches, bs) reshape can't work)
+        seeds = [self._rng.integers(0, 2**63 - 1, size=len(b))
+                 for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -127,8 +127,12 @@ def _frechet_distance(mu1, sigma1, mu2, sigma2,
             covmean = covmean.real
         tr_covmean = np.trace(covmean)
     else:
-        tr_covmean = float(sqrtm_trace_newton_schulz(
-            jnp.asarray(sigma1 @ sigma2, jnp.float64)))
+        # float64 genuinely enabled for this path (without the context the
+        # jnp.float64 request silently truncates to fp32 and the iteration
+        # loses precision against scipy)
+        with jax.enable_x64():
+            tr_covmean = float(sqrtm_trace_newton_schulz(
+                jnp.asarray(sigma1 @ sigma2, jnp.float64)))
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2.0 * tr_covmean)
 

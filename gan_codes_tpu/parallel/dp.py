@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GANConfig
@@ -39,11 +40,21 @@ def make_parallel_train_step(cfg: GANConfig, mesh: Mesh,
 
 
 def shard_batch(mesh: Mesh, cfg: GANConfig, images, captions, cap_lens):
-    """Place a host batch onto the mesh, sharded along the data axis."""
+    """Place a host batch onto the mesh, sharded along the data axis.
+
+    Single process: a plain device_put scatter. Multi-host: each process
+    holds its own loader shard (`DataLoader(shard_id=process_index)`), and the
+    global batch is assembled from the per-process local shards — so the
+    global batch size is local_batch * process_count."""
     sharding = NamedSharding(mesh, P(cfg.train.data_axis))
-    return (jax.device_put(images, sharding),
-            jax.device_put(captions, sharding),
-            jax.device_put(cap_lens, sharding))
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
+    return put(images), put(captions), put(cap_lens)
 
 
 def replicate(mesh: Mesh, tree):

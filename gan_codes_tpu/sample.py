@@ -5,6 +5,7 @@ denormalize (x+1)*127.5 -> uint8 HWC PNG named after the dataset file name.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Optional, Sequence
 
@@ -20,6 +21,10 @@ from .utils import image_io
 Params = Any
 
 
+# Jitted once at module level (cfg is a hashable frozen dataclass, so repeat
+# calls with the same config hit the jit cache instead of retracing — the
+# "hundreds of tiny compiles" anti-pattern this image punishes).
+@functools.partial(jax.jit, static_argnums=1)
 def generate_images(g_params: Params, cfg: GANConfig,
                     sentence_embeds: jnp.ndarray,
                     rng: jax.Array) -> jnp.ndarray:
@@ -38,8 +43,7 @@ def sample(g_params: Params, text_encoder_params: Params, cfg: GANConfig,
     sents = text_encoder_apply(text_encoder_params, cfg.text_encoder,
                                jnp.asarray(batch["captions"]),
                                jnp.asarray(batch["cap_lens"]))
-    fakes = jax.jit(generate_images, static_argnums=1)(
-        g_params, cfg, sents, rng)
+    fakes = generate_images(g_params, cfg, sents, rng)
     fakes = np.asarray(jax.device_get(fakes))
     paths = []
     for i, name in enumerate(batch["file_names"]):

@@ -141,7 +141,12 @@ def make_train_step(cfg: GANConfig):
         (g_total, (g_adv, txtimg_loss)), d_fake = jax.value_and_grad(
             g_loss_from_fake, has_aux=True)(fake)
         (g_grads,) = g_vjp(d_fake.astype(fake.dtype))
-        g_adv, g_grads = guard(g_adv, g_grads, k_g)
+        # Key the grad-zeroing on the loss actually differentiated (g_total
+        # includes the weighted DAMSM term, `model.py:219-224`); the logged
+        # adversarial value gets its own NaN replacement.
+        if loss_cfg.nan_guard:
+            g_grads = losses.zero_grads_if_nonfinite(g_total, g_grads)
+            g_adv = losses.nan_guard_loss(g_adv, k_g)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)

@@ -184,6 +184,10 @@ class Trainer:
             self.state, last_epoch, histories = self.ckpt.restore(self.state)
             start_epoch = last_epoch + 1
             print(f"Resuming from epoch {start_epoch}")
+            # restored-metric print parity (`model.py:127-128`)
+            if histories.get("fid_scores"):
+                print(f"Last checkpoint FID: {histories['fid_scores'][-1]:.4f}, "
+                      f"IS: {histories['is_scores'][-1]:.4f}")
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
@@ -196,7 +200,8 @@ class Trainer:
                 epoch_metrics.get("txtimg_loss", 0.0))
 
             eval_loader = test_loader if test_loader is not None else train_loader
-            is_score, fid_score, fake, caps, lens = self.evaluate(eval_loader)
+            is_score, fid_score, fake, caps, lens = self.evaluate(
+                eval_loader, use_ema=self.cfg.train.eval_use_ema)
             histories["is_scores"].append(is_score)
             histories["fid_scores"].append(fid_score)
 

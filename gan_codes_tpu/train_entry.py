@@ -26,12 +26,25 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           num_epochs: int = 600, seed: int = 123321,
           inception_weights_path: Optional[str] = None,
           compute_dtype: str = "float32", debug_nans: bool = False,
-          data_parallel: bool = False):
+          data_parallel: bool = False, multihost: bool = False,
+          damsm_weight: float = 0.0, gp_compute_dtype: str = "float32",
+          eval_use_ema: bool = False):
+    import jax
+
     if debug_nans:
         # jax-native analogue of the reference's NaN guards (SURVEY §5):
         # fail fast with a traceback instead of guarding silently.
-        import jax
         jax.config.update("jax_debug_nans", True)
+    if multihost:
+        # Multi-host DP: every process joins the global JAX runtime (the
+        # coordinator address/process id come from the TPU environment or the
+        # standard JAX_COORDINATOR_* variables). Must run before the first
+        # device query. Each host then reads a disjoint interleaved shard of
+        # the epoch permutation (identical seeds keep the global order
+        # consistent across hosts), and the GSPMD step's global-batch
+        # arrays are assembled from per-host shards.
+        jax.distributed.initialize()
+        data_parallel = True
     root_key = fix_seed(seed)
 
     os.makedirs(image_save_path, exist_ok=True)
@@ -42,13 +55,19 @@ def train(data_path: str, encoder_weights_path: Optional[str],
     test_ds = CUBDataset(data_cfg, "test", augment=False)
     print(f"Test set size: {len(test_ds)} images")
 
-    cfg = GANConfig.for_image_size(image_size, vocab_size=train_ds.n_words,
-                                   batch_size=batch_size,
-                                   num_epochs=num_epochs, seed=seed,
-                                   compute_dtype=compute_dtype)
+    cfg = GANConfig.for_image_size(
+        image_size, vocab_size=train_ds.n_words,
+        loss_overrides={"damsm_weight": damsm_weight,
+                        "gp_compute_dtype": gp_compute_dtype},
+        batch_size=batch_size, num_epochs=num_epochs, seed=seed,
+        compute_dtype=compute_dtype, eval_use_ema=eval_use_ema)
 
-    train_loader = DataLoader(train_ds, batch_size, seed=seed)
-    test_loader = DataLoader(test_ds, batch_size, shuffle=False, seed=seed)
+    # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
+    # always-on and a no-op outside --multihost).
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+    train_loader = DataLoader(train_ds, batch_size, seed=seed, **shard)
+    test_loader = DataLoader(test_ds, batch_size, shuffle=False, seed=seed,
+                             **shard)
 
     if encoder_weights_path and os.path.exists(encoder_weights_path):
         te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
@@ -101,14 +120,27 @@ def main():
     p.add_argument("--seed", type=int, default=123321)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--gp-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MA-GP phase D-forward dtype (norm math stays fp32)")
+    p.add_argument("--damsm-weight", type=float, default=0.0,
+                   help="weight of the DAMSM cosine term in the G loss "
+                        "(0.0 = the reference's logged-only quirk)")
+    p.add_argument("--eval-ema", action="store_true",
+                   help="evaluate + sample with the EMA generator")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (batch sharded)")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize() for multi-host DP "
+                        "(implies --dp; per-host input sharding)")
     a = p.parse_args()
     train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
           a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
-          debug_nans=a.debug_nans, data_parallel=a.dp)
+          debug_nans=a.debug_nans, data_parallel=a.dp, multihost=a.multihost,
+          damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
+          eval_use_ema=a.eval_ema)
 
 
 if __name__ == "__main__":

@@ -46,9 +46,10 @@ class TestDataset:
         padded, cap_len = ds._encode_caption(long_idx, rng)
         assert cap_len == 18
         original = ds.captions[long_idx]
-        # the subsample must be a subsequence of the original caption
+        # the first cap_len tokens must be a subsequence of the original
+        # caption (pad zeros beyond cap_len are not original tokens)
         it = iter(original)
-        assert all(tok in it for tok in padded.tolist()) or True
+        assert all(tok in it for tok in padded.tolist()[:cap_len])
         assert len(padded) == 18
 
     def test_caption_determinism_per_seed(self, cub_root):
@@ -71,6 +72,16 @@ class TestLoader:
             assert b.captions.shape == (3, 18)
             assert b.cap_lens.shape == (3,)
             assert len(b.file_names) == 3
+
+    def test_keep_last_partial_batch(self, cub_root):
+        """drop_last=False with n % batch_size != 0 yields a short final
+        batch (regression: per-item seed reshape used to require equal-size
+        batches and raised ValueError)."""
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        loader = DataLoader(ds, batch_size=3, drop_last=False, seed=1)
+        batches = list(loader)
+        assert [b.images.shape[0] for b in batches] == [3, 3, 2]
+        assert len(loader) == 3
 
     def test_shuffle_reproducible(self, cub_root):
         ds = CUBDataset(_cfg(cub_root["root"]), "train")
@@ -98,6 +109,17 @@ class TestShardedLoader:
     def test_shard_len(self, cub_root):
         ds = CUBDataset(_cfg(cub_root["root"]), "train")
         assert len(DataLoader(ds, 2, num_shards=2)) == 2  # 8/2 shards / bs2
+
+    def test_uneven_shards_drop_last(self, cub_root):
+        """num_shards=3 over n=8: shard sizes 3/3/2; drop_last truncates per
+        SHARD length, not dataset length (regression: the old truncation used
+        n // batch_size items of the already-sharded order)."""
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        for shard, want in [(0, 1), (1, 1), (2, 1)]:
+            loader = DataLoader(ds, 2, seed=3, shard_id=shard, num_shards=3)
+            batches = list(loader)
+            assert len(batches) == want == len(loader)
+            assert all(b.images.shape[0] == 2 for b in batches)
 
     def test_bad_shard_id(self, cub_root):
         ds = CUBDataset(_cfg(cub_root["root"]), "train")

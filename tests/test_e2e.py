@@ -88,6 +88,47 @@ class TestTrainerE2E:
             np.asarray(jax.device_get(trainer.state.rng)).shape,
             np.asarray(jax.device_get(trainer2.state.rng)).shape)
 
+    def test_fit_uses_ema_eval_knob(self, setup, monkeypatch):
+        """TrainConfig.eval_use_ema routes fit's per-epoch eval through the
+        EMA generator (VERDICT r1 weak #5 / BASELINE config 5)."""
+        import dataclasses
+        cfg, train_ds, _, te_params, work = setup
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, eval_use_ema=True))
+        trainer = Trainer(cfg, te_params, os.path.join(work, "ema_ckpt"),
+                          os.path.join(work, "ema_imgs"),
+                          code2word=train_ds.code2word)
+        seen = []
+
+        def fake_evaluate(loader, use_ema=False):
+            seen.append(use_ema)
+            return 0.0, 0.0, None, None, None
+
+        monkeypatch.setattr(trainer, "evaluate", fake_evaluate)
+        trainer.fit([], [], num_epochs=1, auto_resume=False)
+        assert seen == [True]
+
+    def test_generate_ema_vs_raw_diverge(self, setup):
+        """After training steps, EMA and raw generator outputs differ for the
+        same captions+noise (the EMA copy is connected, not dead state)."""
+        cfg, train_ds, test_ds, te_params, work = setup
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+        trainer = Trainer(cfg, te_params, os.path.join(work, "ema2_ckpt"),
+                          os.path.join(work, "ema2_imgs"),
+                          code2word=train_ds.code2word)
+        loader = DataLoader(train_ds, 4, seed=0)
+        trainer.train_epoch(loader)
+        batch = next(iter(DataLoader(test_ds, 4, shuffle=False)))
+        noise = jax.random.normal(jax.random.PRNGKey(3),
+                                  (4, cfg.generator.latent_dim))
+        raw = trainer.generate(batch["captions"], batch["cap_lens"],
+                               use_ema=False, noise=noise)
+        ema = trainer.generate(batch["captions"], batch["cap_lens"],
+                               use_ema=True, noise=noise)
+        assert float(np.abs(np.asarray(raw) - np.asarray(ema)).max()) > 0.0
+
     def test_generator_only_checkpoints(self, setup):
         cfg, train_ds, _, te_params, work = setup
         ckpt_dir = os.path.join(work, "ckpt")

@@ -189,6 +189,64 @@ class TestTrainStep:
         # rng advanced (resume-safe randomness)
         assert not np.array_equal(rng_before, np.asarray(state2.rng))
 
+    def test_ema_params_track_but_differ_from_raw(self):
+        """The EMA generator is genuinely maintained: after steps it differs
+        from both its init and the raw params (BASELINE config 5 input)."""
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+            text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                           hidden_dim=256, max_len=6),
+            train=TrainConfig(batch_size=4, ema_decay=0.9),
+        )
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        from gan_codes_tpu.train.step import make_train_step
+        step = jax.jit(make_train_step(cfg))
+        state = create_train_state(KEY, cfg)
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        for _ in range(3):
+            state, _ = step(state, te, images, caps, lens)
+        raw = jax.tree.leaves(state.g_params)
+        ema = jax.tree.leaves(state.g_ema_params)
+        diff = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+                   for a, b in zip(raw, ema))
+        assert diff > 0.0, "EMA params identical to raw after updates"
+
+    def test_g_nan_guard_keys_on_total_loss(self, monkeypatch):
+        """Regression (VERDICT r1 weak #6): with damsm_weight > 0 and a NaN
+        DAMSM term but finite adversarial loss, the G grads must be zeroed —
+        the guard keys on the loss actually differentiated, not just g_adv."""
+        import dataclasses
+        from gan_codes_tpu.train import step as step_mod
+
+        monkeypatch.setattr(
+            step_mod.losses, "damsm_cosine_loss",
+            lambda fake, sents: jnp.float32(jnp.nan) * jnp.mean(fake))
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+            text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                           hidden_dim=256, max_len=6),
+        )
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, damsm_weight=1.0))
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        step = jax.jit(step_mod.make_train_step(cfg))
+        state = create_train_state(KEY, cfg)
+        g_before = [np.asarray(x) for x in jax.tree.leaves(state.g_params)]
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        state2, metrics = step(state, te, images, caps, lens)
+        # grads zeroed -> Adam step is exactly zero -> G params unchanged
+        for a, b in zip(g_before, jax.tree.leaves(state2.g_params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        # logged adversarial loss stays finite (guarded), D still trains
+        assert np.isfinite(float(metrics["g_loss"]))
+        assert np.isfinite(float(metrics["d_loss"]))
+
     def test_step_deterministic_given_state(self):
         cfg = GANConfig(
             generator=GeneratorConfig(n_channels=4, image_size=16),

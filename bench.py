@@ -15,26 +15,36 @@ Extra diagnostics go to stderr; stdout carries only the JSON line.
 """
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 REF_IMAGES_PER_SEC = 30.0  # estimated PyTorch reference on V100-class GPU
 
 
 def bench_step(compute_dtype: str, batch: int, iters: int = 10,
-               image_size: int = 256, gp_dtype: str = "float32") -> float:
+               image_size: int = 256, gp_dtype: str = "float32",
+               generator_overrides: dict | None = None,
+               loss_overrides: dict | None = None) -> float:
     """Time `iters` train steps rolled into ONE device program via lax.scan.
 
-    Per-dispatch Python-loop timing is unreliable through this image's remote
-    TPU relay (dispatch returns before execution; measured "38 PFLOP/s"),
-    while a single dispatch + block_until_ready is accurate (validated
-    against an 8192^3 matmul at 122 TFLOP/s bf16 == v5e reality). Scanning
-    the step also removes host-dispatch overhead from the measurement, which
-    is the right steady-state model for a training loop.
+    Relay timing rules (each root-caused the hard way):
+      * Per-dispatch Python-loop timing lies (dispatch returns before
+        execution; measured "38 PFLOP/s") — roll iters into one lax.scan.
+      * jax.block_until_ready can ALSO return early through the relay, and
+        the first call's compile may complete asynchronously — the only
+        reliable sync is fetching values (np.asarray), so the warmup and the
+        timed window both end with a fetch. Cross-validated against an
+        8192^3 matmul at 122 TFLOP/s bf16 == v5e reality.
+      * Arrays go through jit arguments, never closure captures (captured
+        constants are embedded in the compile payload: HTTP 413 at bs>=128).
+    Scanning the step also removes host-dispatch overhead, which is the right
+    steady-state model for a training loop.
     """
     from gan_codes_tpu.config import GANConfig
     from gan_codes_tpu.models.text_encoder import init_text_encoder
@@ -44,7 +54,9 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
     import dataclasses
 
     cfg = GANConfig.for_image_size(image_size, batch_size=batch,
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   generator_overrides=generator_overrides,
+                                   loss_overrides=loss_overrides)
     if gp_dtype != "float32":
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, gp_compute_dtype=gp_dtype))
@@ -59,20 +71,28 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
                                   1, cfg.text_encoder.vocab_size)
     cap_lens = jnp.full((batch,), cfg.text_encoder.max_len, jnp.int32)
 
-    @jax.jit
-    def run_n(state):
+    # arrays go through jit ARGUMENTS: closure-captured device arrays are
+    # embedded as literals in the compile payload, which both bloats the
+    # remote-compile request (HTTP 413 at large batch) and lets XLA
+    # constant-fold parts of the program under test
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_n(state, te_params, images, captions, cap_lens):
         def body(s, _):
             s2, m = step_fn(s, te_params, images, captions, cap_lens)
             return s2, m["g_loss"]
         return jax.lax.scan(body, state, None, length=iters)
 
-    state, _ = run_n(state)            # compile + warmup
-    jax.block_until_ready(state)
+    # Warm up AND drain with a value fetch: through the TPU relay,
+    # jax.block_until_ready can return before execution completes (and the
+    # first call's compile may itself be async) — only fetching values
+    # reliably synchronizes. Fetch inside the timed window too.
+    state, losses = run_n(state, te_params, images, captions, cap_lens)
+    np.asarray(losses)
     t0 = time.perf_counter()
-    state, losses = run_n(state)       # one dispatch, iters steps
-    jax.block_until_ready(losses)
+    state, losses = run_n(state, te_params, images, captions, cap_lens)
+    losses_host = np.asarray(losses)    # full sync
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(losses).all()), "non-finite losses in bench"
+    assert bool(np.isfinite(losses_host).all()), "non-finite losses in bench"
     return batch * iters / dt
 
 
@@ -81,7 +101,8 @@ def main():
     candidates = [
         ("float32", 24, "float32"),   # the reference operating point
         ("bfloat16", 64, "float32"),  # TPU-friendly larger batch
-        ("bfloat16", 128, "bfloat16"),  # fastest: bf16 GP (fp32 norm math)
+        ("bfloat16", 128, "bfloat16"),  # bf16 GP (fp32 norm math)
+        ("bfloat16", 256, "bfloat16"),  # MXU-saturating batch
     ]
     for dtype, batch, gp in candidates:
         label = f"{dtype}_bs{batch}" + ("_gpbf16" if gp != "float32" else "")

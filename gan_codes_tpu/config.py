@@ -39,6 +39,11 @@ class GeneratorConfig:
     image_size: int = 256
     base_size: int = 4  # spatial size of the reshaped latent seed
     use_pallas: bool = False  # fused Pallas DFBlock modulation kernel
+    # jax.checkpoint each residual block: the G backward re-derives the
+    # modulation chains instead of loading saved residuals from HBM —
+    # trades cheap VPU recompute for the backward's dominant HBM traffic
+    # (G bwd measured ~3.2x G fwd without it; see tools/phase_bench.py).
+    remat_blocks: bool = False
 
     @property
     def n_up_blocks(self) -> int:
@@ -144,6 +149,13 @@ class LossConfig:
     # "bfloat16" (grad-of-grad D forward in bf16, norm/penalty math still
     # fp32 — measured ~30% faster GP phase on v5e).
     gp_compute_dtype: str = "float32"
+    # Lazy regularization (StyleGAN2-style, Karras et al. 2020 §appendix B):
+    # run the MA-GP phase every `gp_interval` steps with the coefficient
+    # scaled by the interval, keeping the same time-averaged regularization
+    # pressure. 1 = the reference's every-step semantics (default). The GP
+    # double-backward is ~1/3 of step cost, so interval 4 buys ~25% step
+    # throughput at slightly noisier regularization.
+    gp_interval: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,9 +206,12 @@ class GANConfig:
     def for_image_size(image_size: int, n_channels: int = 32,
                        vocab_size: int = 5450,
                        loss_overrides: Optional[dict] = None,
+                       generator_overrides: Optional[dict] = None,
                        **train_overrides) -> "GANConfig":
         return GANConfig(
-            generator=GeneratorConfig(n_channels=n_channels, image_size=image_size),
+            generator=GeneratorConfig(n_channels=n_channels,
+                                      image_size=image_size,
+                                      **(generator_overrides or {})),
             discriminator=DiscriminatorConfig(n_channels=n_channels, image_size=image_size),
             text_encoder=TextEncoderConfig(vocab_size=vocab_size),
             loss=LossConfig(**loss_overrides) if loss_overrides else LossConfig(),

@@ -44,7 +44,20 @@ class DataLoader:
             raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.shard_id = shard_id
         self.num_shards = num_shards
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle/augment RNG to an epoch (DistributedSampler-style).
+
+        Each epoch's permutation and per-item augment seeds derive from
+        (seed, epoch) only, so a killed-and-resumed run at epoch k sees
+        byte-identical batches to an uninterrupted run — the resume-
+        equivalence guarantee the reference lacks (its shuffle stream restarts
+        from scratch on every process start). The trainer calls this every
+        epoch; without it, epochs auto-advance 0, 1, 2, ... from construction.
+        """
+        self._epoch = int(epoch)
 
     def _shard_size(self) -> int:
         """Number of items in this host's interleaved shard
@@ -73,8 +86,10 @@ class DataLoader:
                      file_names=names)
 
     def __iter__(self) -> Iterator[Batch]:
+        rng = np.random.default_rng([self._seed, self._epoch])
+        self._epoch += 1
         n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards]
         if self.drop_last:
@@ -83,7 +98,7 @@ class DataLoader:
                    for i in range(0, len(order), self.batch_size)]
         # per-batch seed arrays (the final batch may be short with
         # drop_last=False, so a single (n_batches, bs) reshape can't work)
-        seeds = [self._rng.integers(0, 2**63 - 1, size=len(b))
+        seeds = [rng.integers(0, 2**63 - 1, size=len(b))
                  for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

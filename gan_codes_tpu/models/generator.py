@@ -7,6 +7,7 @@ upsample) -> non-upsampling ResidualBlockG -> LeakyReLU -> 3x3 conv -> tanh
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -47,10 +48,19 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
     x = x.reshape(b, cfg.seed_channels, cfg.base_size, cfg.base_size)
     x = jnp.transpose(x, (0, 2, 3, 1))
 
+    block_fn = functools.partial(blocks.res_block_g,
+                                 use_pallas=cfg.use_pallas)
+    if cfg.remat_blocks:
+        # Recompute each block's elementwise modulation chains in the
+        # backward instead of saving them to HBM; conv outputs (the expensive
+        # MXU results, tagged "conv_out" in ops/blocks.py) stay saved.
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+
     n_up = cfg.n_up_blocks
     for i, block_params in enumerate(params["blocks"]):
-        x = blocks.res_block_g(block_params, x, sentence_embed,
-                               use_pallas=cfg.use_pallas)
+        x = block_fn(block_params, x, sentence_embed)
         if i < n_up:
             x = nn.upsample_nearest_2x(x)
 

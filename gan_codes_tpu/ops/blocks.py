@@ -69,7 +69,11 @@ def _df_block(affine_a: Params, affine_b: Params, conv: Params,
                 conv["w"], conv["b"])
     h = fusion.double_affine_leaky(affine_a, affine_b, x, sentence_embed,
                                    use_pallas)
-    return nn.conv2d(conv, h, stride=1, padding=1)
+    y = nn.conv2d(conv, h, stride=1, padding=1)
+    # remat boundary marker: under GeneratorConfig.remat_blocks the backward
+    # keeps conv outputs and recomputes the elementwise chains
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(y, "conv_out")
 
 
 def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray,

@@ -54,14 +54,18 @@ def _interpret() -> bool:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _lrelu(y):
+    """Comparison-free LeakyReLU: Mosaic rejects bf16 vector compares in some
+    packed layouts; max/min are supported and exactly equivalent."""
+    return jnp.maximum(y, 0) + NEG_SLOPE * jnp.minimum(y, 0)
+
+
 def _fwd_kernel(x_ref, g1_ref, b1_ref, g2_ref, b2_ref, o_ref):
     x = x_ref[0]
     g1, b1 = g1_ref[0], b1_ref[0]
     g2, b2 = g2_ref[0], b2_ref[0]
     y1 = g1 * x + b1  # [T, C] * [1, C] broadcasts on sublanes
-    h = jnp.where(y1 >= 0, y1, y1 * NEG_SLOPE)
-    y2 = g2 * h + b2
-    o_ref[0] = jnp.where(y2 >= 0, y2, y2 * NEG_SLOPE)
+    o_ref[0] = _lrelu(g2 * _lrelu(y1) + b2)
 
 
 def _fwd(x3, g1, b1, g2, b2):
@@ -93,10 +97,13 @@ def _bwd_kernel(x_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
     dy = dy_ref[0]
 
     y1 = g1 * x + b1
-    m1 = jnp.where(y1 >= 0, 1.0, NEG_SLOPE).astype(x.dtype)
+    # compare in fp32: bf16 vector compares are unsupported in this layout
+    m1 = jnp.where(y1.astype(jnp.float32) >= 0, 1.0,
+                   NEG_SLOPE).astype(x.dtype)
     h = y1 * m1
     y2 = g2 * h + b2
-    m2 = jnp.where(y2 >= 0, 1.0, NEG_SLOPE).astype(x.dtype)
+    m2 = jnp.where(y2.astype(jnp.float32) >= 0, 1.0,
+                   NEG_SLOPE).astype(x.dtype)
 
     dy2 = dy * m2
     dh = dy2 * g2

@@ -30,7 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_affine import NEG_SLOPE, _interpret
+from .fused_affine import NEG_SLOPE, _interpret, _lrelu
 
 
 def _pick_row_tile(h: int, w: int, cin: int, dtype_bytes: int = 4) -> int:
@@ -82,9 +82,9 @@ def _kernel(x_hbm, g1_ref, b1_ref, g2_ref, b2_ref, w_ref, bias_ref, o_ref,
     g2 = g2_ref[0, 0][None, None, :]
     b2 = b2_ref[0, 0][None, None, :]
     y1 = g1 * x + b1
-    h = jnp.where(y1 >= 0, y1, y1 * NEG_SLOPE)
-    y2 = g2 * h + b2
-    h = jnp.where(y2 >= 0, y2, y2 * NEG_SLOPE)
+    h = _lrelu(y1)          # comparison-free: bf16 vector compares
+    y2 = g2 * h + b2        # are unsupported in packed layouts
+    h = _lrelu(y2)
 
     # SAME-conv zero padding must stay zero: the halo's padded rows/cols went
     # through the modulation above (g*0 + b != 0) — mask them back out.

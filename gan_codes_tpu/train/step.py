@@ -25,6 +25,7 @@ TPU-first design decisions:
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Tuple
 
@@ -57,6 +58,13 @@ def make_train_step(cfg: GANConfig):
     gen_cfg, te_cfg, loss_cfg = cfg.generator, cfg.text_encoder, cfg.loss
     cdtype = cfg.train.compute_jnp_dtype
     ema_decay = cfg.train.ema_decay
+    # Lazy regularization (LossConfig.gp_interval): the penalty phase runs
+    # every k-th step with coefficient scaled by k (StyleGAN2-style equal
+    # time-averaged pressure); k=1 (default) is the reference's every-step
+    # double backward and compiles with no cond at all.
+    k_interval = loss_cfg.gp_interval
+    gp_cfg = (loss_cfg if k_interval == 1 else dataclasses.replace(
+        loss_cfg, gp_coef=loss_cfg.gp_coef * k_interval))
 
     def guard(loss, grads, key):
         """Reference _check_nan semantics on a (loss, grads) pair."""
@@ -116,12 +124,25 @@ def make_train_step(cfg: GANConfig):
                 discriminator_embeds, discriminator_logits,
                 _cast(d_params, gp_dtype),
                 images.astype(gp_dtype), sents.astype(gp_dtype),
-                loss_cfg)
+                gp_cfg)
 
-        gp_loss, gp_grads = jax.value_and_grad(gp_loss_fn)(d_params_1)
-        gp_loss, gp_grads = guard(gp_loss, gp_grads, k_gp)
-        gp_updates, d_opt_state = d_tx.update(gp_grads, d_opt_state, d_params_1)
-        d_params_2 = optax.apply_updates(d_params_1, gp_updates)
+        def run_gp(operands):
+            d_params_1, d_opt_state = operands
+            gp_loss, gp_grads = jax.value_and_grad(gp_loss_fn)(d_params_1)
+            gp_loss, gp_grads = guard(gp_loss, gp_grads, k_gp)
+            gp_updates, d_opt_state = d_tx.update(gp_grads, d_opt_state,
+                                                  d_params_1)
+            return (optax.apply_updates(d_params_1, gp_updates), d_opt_state,
+                    gp_loss)
+
+        if k_interval == 1:
+            d_params_2, d_opt_state, gp_loss = run_gp((d_params_1, d_opt_state))
+        else:
+            d_params_2, d_opt_state, gp_loss = jax.lax.cond(
+                state.step % k_interval == 0,
+                run_gp,
+                lambda ops: (ops[0], ops[1], jnp.float32(0.0)),
+                (d_params_1, d_opt_state))
 
         # ---- Phase 3: G step against the post-phase-2 D (`model.py:214-228`).
         # The D forward differentiates w.r.t. the *fake images*; the cotangent

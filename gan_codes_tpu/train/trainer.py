@@ -78,7 +78,8 @@ class Trainer:
         self._encode_fn = jax.jit(
             lambda caps, lens: text_encoder_apply(
                 self.text_encoder_params, cfg.text_encoder, caps, lens))
-        self._eval_rng = jax.random.PRNGKey(seed + 1)
+        self._eval_base = jax.random.PRNGKey(seed + 1)
+        self._eval_rng = self._eval_base
 
     # ------------------------------------------------------------------
 
@@ -191,6 +192,11 @@ class Trainer:
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
+            # Epoch-keyed data order + eval noise: a killed-and-resumed run is
+            # bit-identical to an uninterrupted one (test_e2e asserts this).
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            self._eval_rng = jax.random.fold_in(self._eval_base, epoch)
             epoch_metrics = self.train_epoch(train_loader)
 
             histories["g_losses"].append(epoch_metrics.get("g_loss", 0.0))

@@ -28,7 +28,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           compute_dtype: str = "float32", debug_nans: bool = False,
           data_parallel: bool = False, multihost: bool = False,
           damsm_weight: float = 0.0, gp_compute_dtype: str = "float32",
-          eval_use_ema: bool = False):
+          eval_use_ema: bool = False, gp_interval: int = 1,
+          remat_g: bool = False):
     import jax
 
     if debug_nans:
@@ -58,7 +59,9 @@ def train(data_path: str, encoder_weights_path: Optional[str],
     cfg = GANConfig.for_image_size(
         image_size, vocab_size=train_ds.n_words,
         loss_overrides={"damsm_weight": damsm_weight,
-                        "gp_compute_dtype": gp_compute_dtype},
+                        "gp_compute_dtype": gp_compute_dtype,
+                        "gp_interval": gp_interval},
+        generator_overrides={"remat_blocks": remat_g},
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema)
 
@@ -128,6 +131,13 @@ def main():
                         "(0.0 = the reference's logged-only quirk)")
     p.add_argument("--eval-ema", action="store_true",
                    help="evaluate + sample with the EMA generator")
+    p.add_argument("--gp-interval", type=int, default=1,
+                   help="lazy regularization: run MA-GP every N steps with "
+                        "the coefficient scaled by N (1 = reference "
+                        "every-step semantics)")
+    p.add_argument("--remat-g", action="store_true",
+                   help="jax.checkpoint the G blocks: recompute modulation "
+                        "chains in the backward instead of saving them")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
@@ -140,7 +150,8 @@ def main():
           a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
           debug_nans=a.debug_nans, data_parallel=a.dp, multihost=a.multihost,
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
-          eval_use_ema=a.eval_ema)
+          eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
+          remat_g=a.remat_g)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,37 @@ class TestTrainerE2E:
             np.asarray(jax.device_get(trainer.state.rng)).shape,
             np.asarray(jax.device_get(trainer2.state.rng)).shape)
 
+    def test_resume_is_bit_identical_to_uninterrupted(self, setup):
+        """Kill-and-resume equivalence: training 1 epoch, restarting from the
+        checkpoint, and training 2 more yields the SAME final parameters as 3
+        uninterrupted epochs. Holds because the checkpoint carries the step
+        RNG, the loader's shuffle/augment stream is epoch-keyed
+        (DataLoader.set_epoch), and eval noise is epoch-keyed in fit()."""
+        cfg, train_ds, test_ds, te_params, work = setup
+
+        def run(ckpt_name, schedule):
+            ckpt_dir = os.path.join(work, ckpt_name)
+            img_dir = os.path.join(work, ckpt_name + "_imgs")
+            state = None
+            for num_epochs in schedule:  # fresh Trainer per leg = a restart
+                trainer = Trainer(cfg, te_params, ckpt_dir, img_dir,
+                                  code2word=train_ds.code2word)
+                trainer.fit(DataLoader(train_ds, 4, seed=11),
+                            DataLoader(test_ds, 4, shuffle=False),
+                            num_epochs=num_epochs, auto_resume=True)
+                state = trainer.state
+            return state
+
+        straight = run("eq_straight", [3])
+        resumed = run("eq_resumed", [1, 3])
+        assert int(straight.step) == int(resumed.step)
+        for a, b in zip(jax.tree.leaves(straight.g_params),
+                        jax.tree.leaves(resumed.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(resumed.d_params),
+                        jax.tree.leaves(straight.d_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fit_uses_ema_eval_knob(self, setup, monkeypatch):
         """TrainConfig.eval_use_ema routes fit's per-epoch eval through the
         EMA generator (VERDICT r1 weak #5 / BASELINE config 5)."""

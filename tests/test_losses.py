@@ -189,6 +189,45 @@ class TestTrainStep:
         # rng advanced (resume-safe randomness)
         assert not np.array_equal(rng_before, np.asarray(state2.rng))
 
+    def test_gp_interval_lazy_regularization(self):
+        """LossConfig.gp_interval: MA-GP runs every k-th step with coef
+        scaled by k (StyleGAN2-style lazy regularization); interval 1 is the
+        reference's every-step semantics and steps with it match exactly."""
+        import dataclasses
+        from gan_codes_tpu.train.step import make_train_step
+
+        def mk(interval):
+            return GANConfig(
+                generator=GeneratorConfig(n_channels=4, image_size=16),
+                discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+                text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                               hidden_dim=256, max_len=6),
+                loss=LossConfig(gp_interval=interval),
+                train=TrainConfig(batch_size=4),
+            )
+
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        te = init_text_encoder(jax.random.PRNGKey(1), mk(1).text_encoder)
+
+        # interval=2: step 0 runs GP (scaled 2x), step 1 skips (gp metric 0)
+        cfg2 = mk(2)
+        state = create_train_state(KEY, cfg2)
+        step2 = jax.jit(make_train_step(cfg2))
+        s1, m1 = step2(state, te, images, caps, lens)
+        s2, m2 = step2(s1, te, images, caps, lens)
+        assert float(m1["d_gp_loss"]) != 0.0
+        assert float(m2["d_gp_loss"]) == 0.0
+        # the scaled coefficient on the active step = 2x the interval-1 value
+        cfg1 = mk(1)
+        state1 = create_train_state(KEY, cfg1)
+        step1 = jax.jit(make_train_step(cfg1))
+        _, m1_ref = step1(state1, te, images, caps, lens)
+        np.testing.assert_allclose(float(m1["d_gp_loss"]),
+                                   2.0 * float(m1_ref["d_gp_loss"]),
+                                   rtol=1e-5)
+
     def test_ema_params_track_but_differ_from_raw(self):
         """The EMA generator is genuinely maintained: after steps it differs
         from both its init and the raw params (BASELINE config 5 input)."""

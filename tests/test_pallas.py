@@ -151,3 +151,87 @@ class TestFusedModConv:
         for g, w_ in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestFusedResBlock:
+    """Whole-ResidualBlockG kernel (ops/pallas/fused_resblock.py): forward vs
+    the XLA composition, VJP wiring, shortcut variants, odd widths."""
+
+    def _args(self, b=2, h=8, w=8, cin=16, cout=16, shortcut=False, seed=3):
+        from gan_codes_tpu.ops.pallas import fused_resblock as fr
+        ks = jax.random.split(jax.random.PRNGKey(seed), 16)
+        vec = lambda k, c: jax.random.normal(k, (b, c)) * 0.5
+        x = jax.random.normal(ks[0], (b, h, w, cin))
+        g1, b1, g2, b2 = (vec(ks[i], cin) for i in range(1, 5))
+        g3, b3, g4, b4 = (vec(ks[i], cout) for i in range(5, 9))
+        w1 = jax.random.normal(ks[9], (3, 3, cin, cout)) * 0.05
+        c1 = jax.random.normal(ks[10], (cout,)) * 0.1
+        w2 = jax.random.normal(ks[11], (3, 3, cout, cout)) * 0.05
+        c2 = jax.random.normal(ks[12], (cout,)) * 0.1
+        gamma = jnp.asarray(0.7)
+        ws = (jax.random.normal(ks[13], (1, 1, cin, cout)) * 0.1
+              if shortcut else None)
+        cs = (jax.random.normal(ks[14], (cout,)) * 0.1 if shortcut else None)
+        return (x, g1, b1, g2, b2, w1, c1, g3, b3, g4, b4, w2, c2, gamma,
+                ws, cs), fr
+
+    @pytest.mark.parametrize("case", [
+        dict(h=8, w=8, cin=16, cout=16, shortcut=False),
+        dict(h=16, w=16, cin=32, cout=16, shortcut=True),
+        dict(h=8, w=12, cin=16, cout=8, shortcut=True),  # non-aligned width
+    ])
+    def test_forward_matches_xla(self, case):
+        args, fr = self._args(**case)
+        got = fr.fused_resblock_g(*args)
+        want = fr._xla_composition(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+    def test_forward_under_jit_multi_tile(self):
+        # h=16 with a forced small tile exercises halo recompute across tiles
+        args, fr = self._args(h=16, w=8, cin=16, cout=16)
+        got = jax.jit(fr.fused_resblock_g)(*args)
+        want = fr._xla_composition(*args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)
+
+    def test_grads_match_xla(self):
+        args, fr = self._args(h=8, w=8, cin=16, cout=16, shortcut=True)
+
+        def loss_pallas(*a):
+            return jnp.sum(fr.fused_resblock_g(*a) ** 2)
+
+        def loss_xla(*a):
+            return jnp.sum(fr._xla_composition(*a) ** 2)
+
+        # differentiate w.r.t. x, the affine vectors, conv weights, and gamma
+        argnums = tuple(range(14))
+        got = jax.grad(loss_pallas, argnums)(*args)
+        want = jax.grad(loss_xla, argnums)(*args)
+        for g, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       atol=2e-3, rtol=1e-4)
+
+    def test_equals_res_block_g_op(self):
+        """The kernel computes exactly ops/blocks.py::res_block_g at shared
+        params (reference `src/generator/residual_block.py:9-59`)."""
+        from gan_codes_tpu.ops.pallas import fused_resblock as fr
+        key = jax.random.PRNGKey(5)
+        b, h, w, cin, cout = 2, 8, 8, 16, 8
+        params = blocks.init_res_block_g(key, cin, cout, sentence_dim=12,
+                                         affine_hidden=10)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, cin))
+        sent = jax.random.normal(jax.random.fold_in(key, 2), (b, 12))
+        want = blocks.res_block_g(params, x, sent)
+
+        g1, b1 = fusion.affine_params(params["affine_1"], sent)
+        g2, b2 = fusion.affine_params(params["affine_2"], sent)
+        g3, b3 = fusion.affine_params(params["affine_3"], sent)
+        g4, b4 = fusion.affine_params(params["affine_4"], sent)
+        got = fr.fused_resblock_g(
+            x, g1, b1, g2, b2, params["conv_1"]["w"], params["conv_1"]["b"],
+            g3, b3, g4, b4, params["conv_2"]["w"], params["conv_2"]["b"],
+            params["gamma"], params["shortcut_conv"]["w"],
+            params["shortcut_conv"]["b"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4)

@@ -90,6 +90,32 @@ class TestBlocks:
 
 
 class TestModels:
+    def test_generator_remat_matches_baseline(self):
+        """GeneratorConfig.remat_blocks changes the backward's memory
+        strategy only: outputs and parameter gradients are identical."""
+        import dataclasses
+        import numpy as np
+        cfg = GeneratorConfig(n_channels=4, image_size=16, sentence_dim=12)
+        cfg_r = dataclasses.replace(cfg, remat_blocks=True)
+        kp, kn, ks = jax.random.split(KEY, 3)
+        p = jax.jit(lambda k: init_generator(k, cfg))(kp)
+        noise = jax.random.normal(kn, (2, cfg.latent_dim))
+        sent = jax.random.normal(ks, (2, cfg.sentence_dim))
+
+        def grads(c):
+            out = generator_apply(p, c, noise, sent)
+            g = jax.grad(lambda pp: jnp.sum(
+                generator_apply(pp, c, noise, sent) ** 2))(p)
+            return out, g
+
+        out0, g0 = grads(cfg)
+        out1, g1 = grads(cfg_r)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                                   atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_generator_full_forward(self):
         cfg = GeneratorConfig(n_channels=8, image_size=32, sentence_dim=20)
         kp, kn, ks = jax.random.split(KEY, 3)

@@ -39,7 +39,7 @@ def timed(fn, args, iters, name, flops):
             # (a loop-invariant body gets hoisted out by LICM and the probe
             # measures one execution + the dispatch floor), and mean-consume
             # the output so XLA can't DCE or slice-propagate it away.
-            a0 = a[0] * (1 + c * jnp.asarray(1e-12, a[0].dtype))
+            a0 = a[0] * (1 + c * 1e-12).astype(a[0].dtype)
             out = fn(a0, *a[1:])
             return c + jnp.mean(out).astype(jnp.float32), None
         return lax.scan(body, jnp.float32(0.0), None, length=iters)

@@ -98,6 +98,7 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
 
 def main():
     results = {}
+    # Reference-semantics configs only; the headline is the best of these.
     candidates = [
         ("float32", 24, "float32"),   # the reference operating point
         ("bfloat16", 64, "float32"),  # TPU-friendly larger batch
@@ -121,6 +122,19 @@ def main():
 
     best_key = max(results, key=results.get)
     best = results[best_key]
+
+    # Extra labeled operating point, NOT headline-eligible: StyleGAN2-style
+    # lazy regularization (MA-GP every 4th step, coefficient x4 — equal
+    # time-averaged pressure but different step semantics; opt-in via
+    # --gp-interval). Reported so the training-recipe tradeoff is visible.
+    try:
+        ips = bench_step("bfloat16", 128, gp_dtype="bfloat16",
+                         loss_overrides={"gp_interval": 4})
+        results["bfloat16_bs128_gpbf16_lazy4(opt-in)"] = ips
+        print(f"[bench] lazy-GP interval 4 (opt-in): {ips:.2f} img/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] lazy-GP failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "images_per_sec_per_chip_256px_train_step",
         "value": round(best, 2),

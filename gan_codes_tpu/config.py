@@ -39,6 +39,11 @@ class GeneratorConfig:
     image_size: int = 256
     base_size: int = 4  # spatial size of the reshaped latent seed
     use_pallas: bool = False  # fused Pallas DFBlock modulation kernel
+    # Fold each nearest-2x upsample into the following block (exact math:
+    # low-res modulation chain + 2x2 sub-pixel conv with 2.25x fewer MACs +
+    # low-res shortcut; see ops/blocks.py::res_block_g_up). Default on;
+    # ignored on the Pallas path.
+    fuse_upsample: bool = True
     # jax.checkpoint each residual block: the G backward re-derives the
     # modulation chains instead of loading saved residuals from HBM —
     # trades cheap VPU recompute for the backward's dominant HBM traffic

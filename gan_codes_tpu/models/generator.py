@@ -50,19 +50,30 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
 
     block_fn = functools.partial(blocks.res_block_g,
                                  use_pallas=cfg.use_pallas)
+    up_block_fn = blocks.res_block_g_up
     if cfg.remat_blocks:
         # Recompute each block's elementwise modulation chains in the
         # backward instead of saving them to HBM; conv outputs (the expensive
         # MXU results, tagged "conv_out" in ops/blocks.py) stay saved.
-        block_fn = jax.checkpoint(
-            block_fn,
+        remat = functools.partial(
+            jax.checkpoint,
             policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+        block_fn, up_block_fn = remat(block_fn), remat(up_block_fn)
 
-    n_up = cfg.n_up_blocks
+    # The reference runs block(x) then upsamples after every block but the
+    # last (`src/generator/model.py:26-33`); the equivalent upsample-BEFORE-
+    # block ordering lets every block after the first fold its upsample into
+    # the block body (res_block_g_up: low-res modulation chain + sub-pixel
+    # conv + low-res shortcut — exact math, see ops/blocks.py). fuse_upsample
+    # keeps the plain order available for A/B and the Pallas path.
     for i, block_params in enumerate(params["blocks"]):
-        x = block_fn(block_params, x, sentence_embed)
-        if i < n_up:
+        if i == 0:
+            x = block_fn(block_params, x, sentence_embed)
+        elif cfg.fuse_upsample and not cfg.use_pallas:
+            x = up_block_fn(block_params, x, sentence_embed)
+        else:
             x = nn.upsample_nearest_2x(x)
+            x = block_fn(block_params, x, sentence_embed)
 
     x = nn.leaky_relu(x)
     x = nn.conv2d(params["conv_out"], x, stride=1, padding=1)

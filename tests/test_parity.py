@@ -116,6 +116,50 @@ class TestModels:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
 
+    def test_conv3x3_on_upsampled_is_exact(self):
+        """The folded 2x2 sub-pixel conv == conv3x3(upsample_nearest_2x(x))
+        (kept as a measured-negative capability: 506.6 vs 529.6 img/s end to
+        end on chip — see ops/blocks.py::res_block_g_up)."""
+        import numpy as np
+        from gan_codes_tpu.ops import nn
+        for h, w, ci, co in [(4, 4, 3, 5), (8, 6, 16, 32), (5, 7, 4, 4)]:
+            k = jax.random.fold_in(KEY, h * 31 + w)
+            p = nn.torch_conv_init(k, 3, 3, ci, co, bias=True)
+            x = jax.random.normal(jax.random.fold_in(k, 1), (2, h, w, ci))
+            ref = nn.conv2d(p, nn.upsample_nearest_2x(x), stride=1, padding=1)
+            got = nn.conv3x3_on_upsampled(p, x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_fused_upsample_block_is_exact(self):
+        """res_block_g_up == res_block_g after upsample (exact: the chain and
+        1x1 shortcut commute with nearest-2x; conv1 folds to the sub-pixel
+        form), and the generator's fused/plain paths agree bitwise in fwd."""
+        import dataclasses
+        import numpy as np
+        from gan_codes_tpu.ops import blocks, nn
+
+        for cin, cout in [(16, 16), (32, 16)]:
+            kp, kx, ks = jax.random.split(jax.random.fold_in(KEY, cin), 3)
+            p = blocks.init_res_block_g(kp, cin, cout, 12)
+            x = jax.random.normal(kx, (2, 6, 6, cin))
+            s = jax.random.normal(ks, (2, 12))
+            ref = blocks.res_block_g(p, nn.upsample_nearest_2x(x), s)
+            got = blocks.res_block_g_up(p, x, s)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+
+        cfg = GeneratorConfig(n_channels=4, image_size=32, sentence_dim=12)
+        kp, kn, ks = jax.random.split(KEY, 3)
+        p = jax.jit(lambda k: init_generator(k, cfg))(kp)
+        noise = jax.random.normal(kn, (2, cfg.latent_dim))
+        sent = jax.random.normal(ks, (2, 12))
+        ref = generator_apply(p, dataclasses.replace(cfg, fuse_upsample=False),
+                              noise, sent)
+        got = generator_apply(p, cfg, noise, sent)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
     def test_generator_full_forward(self):
         cfg = GeneratorConfig(n_channels=8, image_size=32, sentence_dim=20)
         kp, kn, ks = jax.random.split(KEY, 3)

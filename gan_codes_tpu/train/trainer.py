@@ -79,6 +79,7 @@ class Trainer:
             lambda caps, lens: text_encoder_apply(
                 self.text_encoder_params, cfg.text_encoder, caps, lens))
         self._eval_base = jax.random.PRNGKey(seed + 1)
+        self._real_fid_stats = None  # cached real-side (mu, sigma), see evaluate()
         self._eval_rng = self._eval_base
 
     # ------------------------------------------------------------------
@@ -148,8 +149,22 @@ class Trainer:
         real_all = jnp.concatenate(reals)
         is_score, fid_score = 0.0, 0.0
         if self.inception_params is not None:
+            # The test loader is deterministic (shuffle=False, augment=False),
+            # so the real-side FID stats are identical every epoch — compute
+            # once and reuse (halves per-epoch inception cost, same values).
+            real_stats = None
+            if getattr(test_loader, "shuffle", True) is False:
+                if self._real_fid_stats is None:
+                    from ..eval.metrics import activation_stats
+                    try:
+                        self._real_fid_stats = activation_stats(
+                            self.inception_params, real_all)
+                    except FloatingPointError:
+                        pass
+                real_stats = self._real_fid_stats
             is_score, fid_score = compute_is_fid(
-                self.inception_params, fake_all, real_all)
+                self.inception_params, fake_all, real_all,
+                real_stats=real_stats)
             print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
         return is_score, fid_score, *last
 

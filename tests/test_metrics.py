@@ -82,6 +82,20 @@ class TestScores:
         fid = compute_fid(inception_params, a, b, batch_size=4)
         assert fid > 0
 
+    def test_fid_with_cached_real_stats_matches_direct(self, inception_params):
+        """activation_stats + compute_fid(real_stats=...) == compute_fid
+        (the Trainer caches the deterministic test split's real-side stats
+        across epochs — must be a pure reordering, not an approximation)."""
+        from gan_codes_tpu.eval.metrics import activation_stats
+        a = jax.random.uniform(KEY, (8, 32, 32, 3), minval=-1, maxval=1)
+        b = jax.random.uniform(jax.random.fold_in(KEY, 1), (8, 32, 32, 3),
+                               minval=-1, maxval=1)
+        direct = compute_fid(inception_params, a, b, batch_size=4)
+        stats = activation_stats(inception_params, a, batch_size=4)
+        cached = compute_fid(inception_params, None, b, batch_size=4,
+                             real_stats=stats)
+        np.testing.assert_allclose(cached, direct, rtol=1e-9)
+
     def test_is_fid_pairing(self, inception_params):
         imgs = jax.random.uniform(KEY, (4, 32, 32, 3), minval=-1, maxval=1)
         is_score, fid = compute_is_fid(inception_params, imgs, imgs,

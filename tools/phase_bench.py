@@ -1,10 +1,16 @@
 """Per-phase on-chip timing for the 3-phase train step.
 
+SUPERSEDED for phase totals by tools/step_ablate.py: isolated one-phase scan
+programs through the TPU relay proved untrustworthy (this tool put G fwd+bwd
+at 220ms where full-step ablation and two other probes measured ~76ms — see
+PERF.md "Measurement methodology"). Use step_ablate.py for phase costs;
+keep this tool only for quick relative comparisons within one probe shape.
+
 Times each phase of the step (`train/step.py`) as its OWN scan-rolled jitted
-program on the real chip, plus isolated G/D forward/backward probes, so perf
-work targets the measured wall instead of guesses. Same single-dispatch
-methodology as bench.py (per-dispatch timing through the TPU relay is wrong
-by ~50x; one lax.scan dispatch + block_until_ready is accurate).
+program on the real chip, plus isolated G/D forward/backward probes. Same
+single-dispatch methodology as bench.py (per-dispatch timing through the TPU
+relay is wrong by ~50x; one lax.scan dispatch + block_until_ready is
+accurate).
 
 Two harness rules learned the hard way:
   * every probe's compute must depend on the scan CARRY, or XLA's while-loop

@@ -79,7 +79,8 @@ class Trainer:
             lambda caps, lens: text_encoder_apply(
                 self.text_encoder_params, cfg.text_encoder, caps, lens))
         self._eval_base = jax.random.PRNGKey(seed + 1)
-        self._real_fid_stats = None  # cached real-side (mu, sigma), see evaluate()
+        # cached (test_loader, (mu, sigma)) for the real FID side, see evaluate()
+        self._real_fid_stats = None
         self._eval_rng = self._eval_base
 
     # ------------------------------------------------------------------
@@ -154,14 +155,18 @@ class Trainer:
             # once and reuse (halves per-epoch inception cost, same values).
             real_stats = None
             if getattr(test_loader, "shuffle", True) is False:
-                if self._real_fid_stats is None:
+                # keyed on the loader object: a different test_loader (or a
+                # reconfigured one) must not reuse another set's stats
+                if (self._real_fid_stats is None
+                        or self._real_fid_stats[0] is not test_loader):
                     from ..eval.metrics import activation_stats
                     try:
-                        self._real_fid_stats = activation_stats(
-                            self.inception_params, real_all)
+                        self._real_fid_stats = (test_loader, activation_stats(
+                            self.inception_params, real_all))
                     except FloatingPointError:
-                        pass
-                real_stats = self._real_fid_stats
+                        self._real_fid_stats = None
+                if self._real_fid_stats is not None:
+                    real_stats = self._real_fid_stats[1]
             is_score, fid_score = compute_is_fid(
                 self.inception_params, fake_all, real_all,
                 real_stats=real_stats)

@@ -139,6 +139,43 @@ class TestTrainerE2E:
         trainer.fit([], [], num_epochs=1, auto_resume=False)
         assert seen == [True]
 
+    def test_eval_caches_real_fid_stats_per_loader(self, setup, monkeypatch):
+        """With a deterministic test loader, the real-side FID stats are
+        computed once and reused across evaluate() calls; a DIFFERENT loader
+        object recomputes them (cache is loader-keyed)."""
+        from gan_codes_tpu.models.inception import init_inception
+        import gan_codes_tpu.eval.metrics as metrics_mod
+
+        cfg, train_ds, test_ds, te_params, work = setup
+        trainer = Trainer(cfg, te_params, os.path.join(work, "fid_ckpt"),
+                          os.path.join(work, "fid_imgs"),
+                          inception_params=init_inception(jax.random.PRNGKey(3)),
+                          code2word=train_ds.code2word)
+        calls = []
+        real_activation_stats = metrics_mod.activation_stats
+
+        def counting_stats(params, images, batch_size=8):
+            calls.append(images.shape)
+            return real_activation_stats(params, images, batch_size)
+
+        import gan_codes_tpu.train.trainer as trainer_mod
+        monkeypatch.setattr(metrics_mod, "activation_stats", counting_stats)
+
+        # each evaluate computes the FAKE side once; the REAL side only on a
+        # cache miss: first call 2 stats passes, repeat 1, new loader 2 again
+        loader = DataLoader(test_ds, 4, shuffle=False)
+        rng0 = trainer._eval_rng
+        r1 = trainer.evaluate(loader)
+        assert len(calls) == 2
+        trainer._eval_rng = rng0  # same eval noise -> same fakes -> same FID
+        r2 = trainer.evaluate(loader)
+        assert len(calls) == 3  # cached real side: fake pass only
+        np.testing.assert_allclose(r1[1], r2[1], rtol=1e-6)
+
+        other = DataLoader(test_ds, 4, shuffle=False)
+        trainer.evaluate(other)
+        assert len(calls) == 5  # new loader object: real side recomputed
+
     def test_generate_ema_vs_raw_diverge(self, setup):
         """After training steps, EMA and raw generator outputs differ for the
         same captions+noise (the EMA copy is connected, not dead state)."""

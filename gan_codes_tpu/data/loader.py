@@ -60,10 +60,16 @@ class DataLoader:
         self._epoch = int(epoch)
 
     def _shard_size(self) -> int:
-        """Number of items in this host's interleaved shard
-        (len(range(shard_id, n, num_shards)))."""
-        n = len(self.dataset)
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        """Items per host: floor(n / num_shards), EQUAL for every shard.
+
+        Under multi-host DP each jitted step is a lockstep GSPMD program, so
+        every host must produce the same number of batches per epoch — a
+        host with one extra batch would enter a collective no peer joins and
+        hang the slice. Interleaved shards naturally differ by one item when
+        num_shards doesn't divide n; truncating all shards to the floor
+        (torch DistributedSampler-style, minus its padding) keeps them
+        identical. Single-shard loaders are unaffected (n // 1 == n)."""
+        return len(self.dataset) // self.num_shards
 
     def __len__(self) -> int:
         n = self._shard_size()
@@ -91,7 +97,9 @@ class DataLoader:
         n = len(self.dataset)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         if self.num_shards > 1:
-            order = order[self.shard_id::self.num_shards]
+            # equal-size shards (see _shard_size): all hosts get the same
+            # batch count per epoch, or the lockstep GSPMD step deadlocks
+            order = order[self.shard_id::self.num_shards][: self._shard_size()]
         if self.drop_last:
             order = order[: (len(order) // self.batch_size) * self.batch_size]
         batches = [order[i: i + self.batch_size]

@@ -229,10 +229,13 @@ def _xla_composition(x, g1, b1, g2, b2, w1, c1, g3, b3, g4, b4, w2, c2,
 
 
 def _supported(x) -> bool:
-    """Same hardware rules as fused_modconv: H must tile; on real TPU the
-    manual halo DMA needs lane-aligned channels (Cin % 128 == 0)."""
+    """Same hardware rules as fused_modconv: the row tile must be a real
+    (>= 8-row) tile — _pick_tile only returns divisors of H, so the previous
+    `h % tile` check was dead code and odd H silently degenerated to tile=1
+    (a 5-row DMA per output row). On real TPU the manual halo DMA also needs
+    lane-aligned channels (Cin % 128 == 0)."""
     _, h, w, cin = x.shape
-    if h % _pick_tile(h, w, cin, x.dtype.itemsize) != 0:
+    if _pick_tile(h, w, cin, x.dtype.itemsize) < 8:
         return False
     return _interpret() or cin % 128 == 0
 

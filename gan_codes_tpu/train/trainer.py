@@ -154,7 +154,14 @@ class Trainer:
             # so the real-side FID stats are identical every epoch — compute
             # once and reuse (halves per-epoch inception cost, same values).
             real_stats = None
-            if getattr(test_loader, "shuffle", True) is False:
+            # cache only when the real side is genuinely deterministic:
+            # unshuffled AND un-augmented (augment re-draws per-item seeds
+            # every epoch, changing the real images under the cache)
+            deterministic = (
+                getattr(test_loader, "shuffle", True) is False
+                and getattr(getattr(test_loader, "dataset", None),
+                            "augment", True) is False)
+            if deterministic:
                 # keyed on the loader object: a different test_loader (or a
                 # reconfigured one) must not reuse another set's stats
                 if (self._real_fid_stats is None
@@ -214,8 +221,13 @@ class Trainer:
             t0 = time.time()
             # Epoch-keyed data order + eval noise: a killed-and-resumed run is
             # bit-identical to an uninterrupted one (test_e2e asserts this).
+            # The EVAL loader is pinned too: its per-item seeds drive caption
+            # choice, so an unpinned auto-advancing epoch would restart at 0
+            # on resume and change logged IS/FID + sample grids.
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
+            if test_loader is not None and hasattr(test_loader, "set_epoch"):
+                test_loader.set_epoch(epoch)
             self._eval_rng = jax.random.fold_in(self._eval_base, epoch)
             epoch_metrics = self.train_epoch(train_loader)
 
@@ -233,7 +245,15 @@ class Trainer:
 
             if fake is not None:
                 self._save_samples(fake, caps, lens, epoch)
-            self.ckpt.save(epoch, self.state, histories)
+            # Reference saves every epoch (`model.py:300-312`); with
+            # checkpoint_every_epochs=k only every k-th (and the final)
+            # epoch is saved — a crash then replays at most k-1 epochs
+            # (resume stays bit-exact: the loader streams are epoch-keyed).
+            # Useful when the save dominates epoch wall time (remote-relay
+            # dev setup: ~380MB/epoch; see artifacts/longrun).
+            every = self.cfg.train.checkpoint_every_epochs
+            if (epoch + 1) % every == 0 or epoch == num_epochs - 1:
+                self.ckpt.save(epoch, self.state, histories)
 
             dt = time.time() - t0
             self.metrics_log.log(

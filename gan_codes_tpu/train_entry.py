@@ -29,7 +29,7 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           data_parallel: bool = False, multihost: bool = False,
           damsm_weight: float = 0.0, gp_compute_dtype: str = "float32",
           eval_use_ema: bool = False, gp_interval: int = 1,
-          remat_g: bool = False):
+          remat_g: bool = False, ckpt_every: int = 1):
     import jax
 
     if debug_nans:
@@ -63,7 +63,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
                         "gp_interval": gp_interval},
         generator_overrides={"remat_blocks": remat_g},
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
-        compute_dtype=compute_dtype, eval_use_ema=eval_use_ema)
+        compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
+        checkpoint_every_epochs=ckpt_every)
 
     # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
     # always-on and a no-op outside --multihost).
@@ -131,6 +132,10 @@ def main():
                         "(0.0 = the reference's logged-only quirk)")
     p.add_argument("--eval-ema", action="store_true",
                    help="evaluate + sample with the EMA generator")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="save the Orbax checkpoint every N epochs (1 = the "
+                        "reference's every-epoch saves; a crash replays at "
+                        "most N-1 epochs, resume stays bit-exact)")
     p.add_argument("--gp-interval", type=int, default=1,
                    help="lazy regularization: run MA-GP every N steps with "
                         "the coefficient scaled by N (1 = reference "
@@ -151,7 +156,7 @@ def main():
           debug_nans=a.debug_nans, data_parallel=a.dp, multihost=a.multihost,
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
-          remat_g=a.remat_g)
+          remat_g=a.remat_g, ckpt_every=a.ckpt_every)
 
 
 if __name__ == "__main__":

@@ -128,16 +128,27 @@ class TestShardedLoader:
         ds = CUBDataset(_cfg(cub_root["root"]), "train")
         assert len(DataLoader(ds, 2, num_shards=2)) == 2  # 8/2 shards / bs2
 
-    def test_uneven_shards_drop_last(self, cub_root):
-        """num_shards=3 over n=8: shard sizes 3/3/2; drop_last truncates per
-        SHARD length, not dataset length (regression: the old truncation used
-        n // batch_size items of the already-sharded order)."""
+    def test_uneven_shards_equalized(self, cub_root):
+        """num_shards=3 over n=8: every shard truncates to floor(8/3)=2
+        items, so EVERY host yields the same batch count. Unequal counts
+        would deadlock the lockstep GSPMD step under multi-host DP (the host
+        with an extra batch enters a collective no peer joins)."""
         ds = CUBDataset(_cfg(cub_root["root"]), "train")
-        for shard, want in [(0, 1), (1, 1), (2, 1)]:
+        seen_counts = set()
+        for shard in range(3):
             loader = DataLoader(ds, 2, seed=3, shard_id=shard, num_shards=3)
             batches = list(loader)
-            assert len(batches) == want == len(loader)
+            assert len(batches) == len(loader)
             assert all(b.images.shape[0] == 2 for b in batches)
+            seen_counts.add(len(batches))
+        assert seen_counts == {1}  # identical batch count on every host
+
+        # drop_last=False likewise must not reintroduce a shard-size skew
+        seen_counts = {
+            len(list(DataLoader(ds, 2, seed=3, shard_id=s, num_shards=3,
+                                drop_last=False)))
+            for s in range(3)}
+        assert seen_counts == {1}
 
     def test_bad_shard_id(self, cub_root):
         ds = CUBDataset(_cfg(cub_root["root"]), "train")

@@ -139,6 +139,24 @@ class TestTrainerE2E:
         trainer.fit([], [], num_epochs=1, auto_resume=False)
         assert seen == [True]
 
+    def test_checkpoint_every_epochs_knob(self, setup, monkeypatch):
+        """checkpoint_every_epochs=2 saves epochs 1 and 2 (every 2nd + the
+        final epoch) but not epoch 0 — the knob was previously dead config."""
+        import dataclasses
+        cfg, train_ds, _, te_params, work = setup
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           checkpoint_every_epochs=2))
+        trainer = Trainer(cfg, te_params, os.path.join(work, "ck_every"),
+                          os.path.join(work, "ck_every_imgs"),
+                          code2word=train_ds.code2word)
+        saved = []
+        monkeypatch.setattr(trainer.ckpt, "save",
+                            lambda epoch, *a, **k: saved.append(epoch))
+        loader = DataLoader(train_ds, 4, seed=5)
+        trainer.fit(loader, num_epochs=3, auto_resume=False)
+        assert saved == [1, 2]
+
     def test_eval_caches_real_fid_stats_per_loader(self, setup, monkeypatch):
         """With a deterministic test loader, the real-side FID stats are
         computed once and reused across evaluate() calls; a DIFFERENT loader

@@ -188,8 +188,12 @@ class TestFusedResBlock:
                                    atol=2e-4)
 
     def test_forward_under_jit_multi_tile(self):
-        # h=16 with a forced small tile exercises halo recompute across tiles
-        args, fr = self._args(h=16, w=8, cin=16, cout=16)
+        # h=128, w=8, cin=16 -> _pick_tile returns 64 (verified), so the
+        # grid really has 2 row tiles and the i>0 halo/DMA paths execute
+        # (h=16 was single-tile and left them uncovered)
+        from gan_codes_tpu.ops.pallas.fused_resblock import _pick_tile
+        assert _pick_tile(128, 8, 16, 4) == 64
+        args, fr = self._args(h=128, w=8, cin=16, cout=16)
         got = jax.jit(fr.fused_resblock_g)(*args)
         want = fr._xla_composition(*args)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),

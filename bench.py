@@ -128,7 +128,9 @@ def main():
     # time-averaged pressure but different step semantics; opt-in via
     # --gp-interval). Reported so the training-recipe tradeoff is visible.
     try:
-        ips = bench_step("bfloat16", 128, gp_dtype="bfloat16",
+        # iters must be a multiple of the interval or the timed window skews
+        # (10 iters after a 10-iter warmup sample 2 GP steps, not 2.5)
+        ips = bench_step("bfloat16", 128, iters=20, gp_dtype="bfloat16",
                          loss_overrides={"gp_interval": 4})
         results["bfloat16_bs128_gpbf16_lazy4(opt-in)"] = ips
         print(f"[bench] lazy-GP interval 4 (opt-in): {ips:.2f} img/s",

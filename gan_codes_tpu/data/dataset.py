@@ -77,10 +77,15 @@ class CUBDataset:
         # (`objects/dataset.py:36-47`: data_dir, ../data, cwd/data), and a
         # missing file WARNS loudly — silently training full-frame changes
         # the data distribution.
-        bbox_path = self._find_aux_file(data_dir, "bounding_boxes.txt")
-        images_path = self._find_aux_file(data_dir, "images.txt")
-        if bbox_path and images_path:
-            self.bbox = load_bbox_table(bbox_path, images_path)
+        # Both files must come from the SAME directory: bounding_boxes.txt
+        # row i joins to images.txt row i, so mixing copies from different
+        # directories would silently apply wrong crops to every image.
+        aux_dir = self._find_aux_dir(data_dir,
+                                     ("bounding_boxes.txt", "images.txt"))
+        if aux_dir:
+            self.bbox = load_bbox_table(
+                os.path.join(aux_dir, "bounding_boxes.txt"),
+                os.path.join(aux_dir, "images.txt"))
         else:
             print("Warning: bounding_boxes.txt/images.txt not found under "
                   f"{data_dir!r}, ../data, or ./data — bbox cropping DISABLED, "
@@ -90,12 +95,13 @@ class CUBDataset:
         self._print_info(captions_path, filenames_path)
 
     @staticmethod
-    def _find_aux_file(data_dir: str, name: str) -> Optional[str]:
-        """Search order of the reference (`objects/dataset.py:36-47`)."""
-        for cand in (os.path.join(data_dir, name),
-                     os.path.join("..", "data", name),
-                     os.path.join(os.getcwd(), "data", name)):
-            if os.path.isfile(cand):
+    def _find_aux_dir(data_dir: str, names: Tuple[str, ...]) -> Optional[str]:
+        """First directory in the reference's search order
+        (`objects/dataset.py:36-47`: data_dir, ../data, cwd/data) containing
+        ALL of `names` — row-joined files must come from one copy."""
+        for cand in (data_dir, os.path.join("..", "data"),
+                     os.path.join(os.getcwd(), "data")):
+            if all(os.path.isfile(os.path.join(cand, n)) for n in names):
                 return cand
         return None
 

@@ -111,11 +111,14 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 try:
                     for idx_batch, seed_batch in zip(batches, seeds):
+                        if stop.is_set():
+                            break
                         q.put(self._make_batch(idx_batch, seed_batch, pool))
                 except Exception as e:  # surface decode errors to the consumer
                     q.put(e)
@@ -124,11 +127,23 @@ class DataLoader:
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # An abandoned iterator (e.g. eval stops after eval_max_batches)
+            # must not leak the producer: it may be blocked in q.put on the
+            # bounded queue. Signal it, then drain until it exits so the
+            # blocked put (and its sentinel) can always complete.
+            stop.set()
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.05)
+            thread.join()

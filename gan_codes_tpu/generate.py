@@ -61,8 +61,11 @@ def load_vocab(data_dir: str) -> Tuple[Dict[int, str], Dict[str, int]]:
 def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
          gen_weights_dir: str = "gen_weights",
          image_save_path: str = "testing_images",
-         prompt: Optional[str] = None) -> Optional[str]:
-    """Interactive prompt -> image (reference `test_generate.py:21-84`)."""
+         prompt: Optional[str] = None, use_ema: bool = False) -> Optional[str]:
+    """Interactive prompt -> image (reference `test_generate.py:21-84`).
+
+    `use_ema` samples from the EMA generator (the smoother weights used for
+    eval under BASELINE config 5) instead of the raw training weights."""
     from .models.text_encoder import load_text_encoder
 
     code2word, word2code = load_vocab(data_dir)
@@ -87,12 +90,23 @@ def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
         print("No prompt entered.")
         return None
 
-    img = generate_from_prompt(prompt, gen_tree["g_params"], te_params, cfg,
-                               word2code)
+    g = gen_tree["g_ema_params"] if use_ema else gen_tree["g_params"]
+    img = generate_from_prompt(prompt, g, te_params, cfg, word2code)
     path = image_io.save_image(img, image_save_path, "sample_from_prompt")
     print(f"Generated image saved to {path}")
     return path
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser(description="prompt -> image")
+    ap.add_argument("--data", default="data")
+    ap.add_argument("--text-encoder", default="text_encoder.pth")
+    ap.add_argument("--weights", default="gen_weights")
+    ap.add_argument("--out", default="testing_images")
+    ap.add_argument("--prompt", default=None)
+    ap.add_argument("--ema", action="store_true",
+                    help="sample from the EMA generator")
+    a = ap.parse_args()
+    main(a.data, a.text_encoder, a.weights, a.out, a.prompt, use_ema=a.ema)

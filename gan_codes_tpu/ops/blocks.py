@@ -99,9 +99,10 @@ def res_block_g_up(params: Params, x_low: jnp.ndarray,
 
       * DFBlock-1's modulation chain runs at LOW resolution (4x fewer
         elementwise FLOPs / HBM traffic; per-channel affine + LeakyReLU give
-        duplicated pixels identical values),
-      * its 3x3 conv folds with the upsample into a 2x2 sub-pixel conv
-        (nn.conv3x3_on_upsampled: 2.25x fewer MACs, 4*Cout MXU lanes),
+        duplicated pixels identical values), then upsamples before the
+        plain SAME 3x3 conv (the fully-folded sub-pixel conv
+        nn.conv3x3_on_upsampled measured SLOWER end to end — see the inline
+        note and PERF.md),
       * the 1x1 shortcut conv runs at LOW resolution then upsamples
         (1x1 convs are pointwise across space).
 

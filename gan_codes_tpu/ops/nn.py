@@ -89,6 +89,12 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
 def conv3x3_on_upsampled(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """== conv2d(params, upsample_nearest_2x(x), stride=1, padding=1), exactly.
 
+    MEASURED NEGATIVE — kept as a tested reference, NOT used by the model:
+    despite 2.25x fewer MACs the folded form lost end to end on chip (506.6
+    vs 529.6 img/s; the 4-phase interleave and odd-size [H+1] conv tile
+    poorly — PERF.md "What lost"). res_block_g_up upsamples the low-res
+    chain output and runs the plain conv instead.
+
     Nearest-upsampling duplicates pixels, so the SAME-padded 3x3 conv on the
     [2H, 2W] map reads each original pixel through summed taps: for output
     sub-pixel phase p in {0,1} (per axis), the three taps fold onto two

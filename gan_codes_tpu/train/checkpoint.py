@@ -44,6 +44,11 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: TrainState,
              histories: Dict[str, List[float]]) -> None:
+        # Multi-host DP: the TrainState is fully replicated, so process 0
+        # holds complete host-local copies — it alone writes, or N processes
+        # would race Orbax's atomic rename on the same shared paths.
+        if jax.process_index() != 0:
+            return
         state = jax.device_get(state)
         latest = self._path("checkpoint")
         self._ckptr.save(latest, state, force=True)
@@ -59,7 +64,10 @@ class CheckpointManager:
 
     def save_generator(self, epoch: int, state: TrainState) -> None:
         """Generator-only weights for inference (`model.py:321-327`),
-        including the EMA copy."""
+        including the EMA copy. Process-0-only under multi-host (replicated
+        params; see save())."""
+        if jax.process_index() != 0:
+            return
         gen_tree = {"g_params": jax.device_get(state.g_params),
                     "g_ema_params": jax.device_get(state.g_ema_params)}
         self._ckptr.save(self._path(f"gen_{epoch}"), gen_tree, force=True)

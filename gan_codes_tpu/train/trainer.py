@@ -140,14 +140,18 @@ class Trainer:
                 break
             images, captions, cap_lens = self._device_batch(batch)
             fake = self.generate(captions, cap_lens, use_ema=use_ema)
-            reals.append(images)
-            fakes.append(fake)
-            last = (fake, batch["captions"], batch["cap_lens"])
+            # host-local views: under multi-host DP the arrays are globally
+            # sharded and np.asarray on non-addressable shards raises; each
+            # host evaluates its own shard (IS/FID are set statistics, so
+            # within-batch shard order is irrelevant)
+            reals.append(self._to_host(images))
+            fakes.append(self._to_host(fake))
+            last = (fakes[-1], batch["captions"], batch["cap_lens"])
         if not fakes:
             return 0.0, 0.0, None, None, None
 
-        fake_all = jnp.concatenate(fakes)
-        real_all = jnp.concatenate(reals)
+        fake_all = np.concatenate(fakes)
+        real_all = np.concatenate(reals)
         is_score, fid_score = 0.0, 0.0
         if self.inception_params is not None:
             # The test loader is deterministic (shuffle=False, augment=False),
@@ -182,8 +186,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _to_host(arr) -> np.ndarray:
+        """Process-local numpy view of a possibly globally-sharded array."""
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(arr))
+        return np.concatenate(
+            [np.asarray(s.data) for s in arr.addressable_shards])
+
     def _save_samples(self, fake, captions, cap_lens, epoch: int) -> None:
-        """Per-epoch image dumps (`model.py:329-387`)."""
+        """Per-epoch image dumps (`model.py:329-387`). Process-0-only under
+        multi-host (every process passes host-local data; one writes)."""
+        if jax.process_index() != 0:
+            return
         try:
             fake_np = np.asarray(jax.device_get(fake))
             prompts = [image_io.decode_caption(captions[i], cap_lens[i],
@@ -216,6 +231,11 @@ class Trainer:
             if histories.get("fid_scores"):
                 print(f"Last checkpoint FID: {histories['fid_scores'][-1]:.4f}, "
                       f"IS: {histories['is_scores'][-1]:.4f}")
+            # epochs >= start_epoch will be replayed (checkpoint_every_epochs
+            # may skip saves) — drop their old rows so the JSONL keeps one
+            # row per epoch (tools/longrun.py and plotting rely on that)
+            if jax.process_index() == 0:
+                self.metrics_log.truncate_from(start_epoch)
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
@@ -250,19 +270,23 @@ class Trainer:
             # epoch is saved — a crash then replays at most k-1 epochs
             # (resume stays bit-exact: the loader streams are epoch-keyed).
             # Useful when the save dominates epoch wall time (remote-relay
-            # dev setup: ~380MB/epoch; see artifacts/longrun).
+            # dev setup: ~380MB/epoch; see artifacts/longrun). Numbered-
+            # checkpoint epochs still save regardless, so the gen_N cadence
+            # (ckpt.numbered_every) is independent of this knob.
             every = self.cfg.train.checkpoint_every_epochs
-            if (epoch + 1) % every == 0 or epoch == num_epochs - 1:
+            if ((epoch + 1) % every == 0 or epoch == num_epochs - 1
+                    or (epoch + 1) % self.ckpt.numbered_every == 0):
                 self.ckpt.save(epoch, self.state, histories)
 
             dt = time.time() - t0
-            self.metrics_log.log(
-                int(self.state.step), epoch=epoch, epoch_seconds=dt,
-                g_loss=histories["g_losses"][-1],
-                d_loss=histories["d_losses"][-1],
-                d_gp_loss=histories["d_gp_losses"][-1],
-                txtimg_loss=histories["txtimg_losses"][-1],
-                is_score=is_score, fid_score=fid_score)
+            if jax.process_index() == 0:
+                self.metrics_log.log(
+                    int(self.state.step), epoch=epoch, epoch_seconds=dt,
+                    g_loss=histories["g_losses"][-1],
+                    d_loss=histories["d_losses"][-1],
+                    d_gp_loss=histories["d_gp_losses"][-1],
+                    txtimg_loss=histories["txtimg_losses"][-1],
+                    is_score=is_score, fid_score=fid_score)
             print(f"Epoch {epoch + 1}: "
                   f"G Loss: {histories['g_losses'][-1]:.4f}, "
                   f"D Loss: {histories['d_losses'][-1]:.4f}, "

@@ -75,5 +75,26 @@ class MetricsLogger:
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
 
+    def truncate_from(self, epoch: float) -> None:
+        """Drop rows with rec['epoch'] >= epoch.
+
+        A resumed run replays the epochs after the last checkpoint (with
+        `checkpoint_every_epochs > 1` up to k-1 of them); their old rows
+        would otherwise duplicate and break one-row-per-epoch consumers."""
+        self._fh.close()
+        kept = []
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("epoch", -1) < epoch:
+                        kept.append(line)
+        with open(self.path, "w") as f:
+            f.writelines(kept)
+        self._fh = open(self.path, "a")
+
     def close(self) -> None:
         self._fh.close()

@@ -114,6 +114,26 @@ class TestLoader:
             np.testing.assert_array_equal(x, y)  # incl. augment seeds
 
 
+class TestLoaderCleanup:
+    def test_abandoned_iterator_does_not_leak_producer(self, cub_root):
+        """Closing a loader iterator early (the per-epoch eval pattern:
+        break after eval_max_batches) must terminate the producer thread —
+        it may be blocked in q.put on the bounded prefetch queue."""
+        import threading
+        import time
+        ds = CUBDataset(_cfg(cub_root["root"]), "train")
+        loader = DataLoader(ds, 1, seed=0, prefetch=1)  # 8 batches, tiny queue
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # GeneratorExit -> finally: stop + drain + join
+        for _ in range(100):
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+
 class TestShardedLoader:
     def test_shards_are_disjoint_and_cover(self, cub_root):
         ds = CUBDataset(_cfg(cub_root["root"]), "train")

@@ -31,6 +31,20 @@ class TestProfiling:
         assert lines[0]["step"] == 1 and lines[0]["g_loss"] == 0.5
         assert lines[1]["step"] == 2 and lines[1]["d_loss"] == 1.9
 
+    def test_metrics_logger_truncate_from(self, tmp_path):
+        """Resume replays epochs after the last checkpoint; truncate_from
+        drops their stale rows so the log stays one-row-per-epoch."""
+        path = str(tmp_path / "m.jsonl")
+        log = MetricsLogger(path)
+        for e in range(4):
+            log.log(e * 10, epoch=e, g_loss=float(e))
+        log.truncate_from(2)       # epochs 2, 3 will be replayed
+        log.log(99, epoch=2, g_loss=2.5)  # replayed epoch 2
+        log.close()
+        lines = [json.loads(l) for l in open(path)]
+        assert [l["epoch"] for l in lines] == [0, 1, 2]
+        assert lines[-1]["g_loss"] == 2.5
+
 
 class TestImageIO:
     def test_denormalize_range(self):

@@ -44,16 +44,17 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: TrainState,
              histories: Dict[str, List[float]]) -> None:
-        # Multi-host DP: the TrainState is fully replicated, so process 0
-        # holds complete host-local copies — it alone writes, or N processes
-        # would race Orbax's atomic rename on the same shared paths.
-        if jax.process_index() != 0:
-            return
+        # Multi-host DP: orbax's Checkpointer.save is a COLLECTIVE — every
+        # process must call it (it runs sync_global_processes barriers and
+        # internally restricts filesystem writes to the primary host), so do
+        # NOT gate it on process_index. Only the plain-JSON side file is
+        # process-0-only.
         state = jax.device_get(state)
         latest = self._path("checkpoint")
         self._ckptr.save(latest, state, force=True)
-        with open(self._path("histories.json"), "w") as f:
-            json.dump({"epoch": epoch, **histories}, f)
+        if jax.process_index() == 0:
+            with open(self._path("histories.json"), "w") as f:
+                json.dump({"epoch": epoch, **histories}, f)
         if (epoch + 1) % self.numbered_every == 0:
             self._ckptr.save(self._path(f"checkpoint_epoch_{epoch}"), state,
                              force=True)
@@ -64,10 +65,8 @@ class CheckpointManager:
 
     def save_generator(self, epoch: int, state: TrainState) -> None:
         """Generator-only weights for inference (`model.py:321-327`),
-        including the EMA copy. Process-0-only under multi-host (replicated
-        params; see save())."""
-        if jax.process_index() != 0:
-            return
+        including the EMA copy. Collective like save() — every process must
+        call it."""
         gen_tree = {"g_params": jax.device_get(state.g_params),
                     "g_ema_params": jax.device_get(state.g_ema_params)}
         self._ckptr.save(self._path(f"gen_{epoch}"), gen_tree, force=True)

@@ -153,7 +153,13 @@ class Trainer:
         fake_all = np.concatenate(fakes)
         real_all = np.concatenate(reals)
         is_score, fid_score = 0.0, 0.0
-        if self.inception_params is not None:
+        # Multi-host: process 0 alone scores ITS eval shard (1/N of the
+        # set) — compute_is_fid is pure local math, the other processes'
+        # results would feed only never-saved local histories, and FID's
+        # sample-count bias means the number is comparable only at a fixed
+        # host count (documented; a cross-host activation gather would
+        # restore single-host semantics and is future work).
+        if self.inception_params is not None and jax.process_index() == 0:
             # The test loader is deterministic (shuffle=False, augment=False),
             # so the real-side FID stats are identical every epoch — compute
             # once and reuse (halves per-epoch inception cost, same values).
@@ -188,11 +194,18 @@ class Trainer:
 
     @staticmethod
     def _to_host(arr) -> np.ndarray:
-        """Process-local numpy view of a possibly globally-sharded array."""
+        """Process-local numpy view of a possibly globally-sharded array.
+
+        Shards are sorted by their global batch offset: addressable_shards
+        iterates in device-assignment order, which only coincidentally
+        matches batch order for a trivially-reshaped mesh — a permuted
+        assignment (e.g. mesh_utils ICI topologies) would otherwise pair
+        fakes with the wrong captions downstream."""
         if jax.process_count() == 1:
             return np.asarray(jax.device_get(arr))
-        return np.concatenate(
-            [np.asarray(s.data) for s in arr.addressable_shards])
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
     def _save_samples(self, fake, captions, cap_lens, epoch: int) -> None:
         """Per-epoch image dumps (`model.py:329-387`). Process-0-only under
@@ -231,11 +244,14 @@ class Trainer:
             if histories.get("fid_scores"):
                 print(f"Last checkpoint FID: {histories['fid_scores'][-1]:.4f}, "
                       f"IS: {histories['is_scores'][-1]:.4f}")
-            # epochs >= start_epoch will be replayed (checkpoint_every_epochs
-            # may skip saves) — drop their old rows so the JSONL keeps one
-            # row per epoch (tools/longrun.py and plotting rely on that)
-            if jax.process_index() == 0:
-                self.metrics_log.truncate_from(start_epoch)
+
+        # Epochs >= start_epoch are about to be (re)played — drop their stale
+        # rows so the JSONL keeps one row per epoch (tools/longrun.py and
+        # plotting rely on that). Unconditional: a crash BEFORE the first
+        # checkpoint restarts with start_epoch=0 and no resume branch, yet
+        # may already have logged rows.
+        if jax.process_index() == 0:
+            self.metrics_log.truncate_from(start_epoch)
 
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()

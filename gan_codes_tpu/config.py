@@ -38,7 +38,11 @@ class GeneratorConfig:
     affine_hidden: int = 256
     image_size: int = 256
     base_size: int = 4  # spatial size of the reshaped latent seed
-    use_pallas: bool = False  # fused Pallas DFBlock modulation kernel
+    # Fused Pallas DFBlock modulation kernel. MEASURED SLOWER: 0.63x XLA
+    # end-to-end on v5e (267 vs 421 img/s full step; PERF.md "What lost") —
+    # XLA already fuses the modulation chain into conv epilogues. Kept for
+    # kernel development/evidence only; do not enable expecting a win.
+    use_pallas: bool = False
     # Fold each nearest-2x upsample into the following block (exact math:
     # low-res modulation chain + 2x2 sub-pixel conv with 2.25x fewer MACs +
     # low-res shortcut; see ops/blocks.py::res_block_g_up). Default on;

@@ -177,6 +177,120 @@ def compute_fid(inception_params, real_images: Optional[jnp.ndarray],
         return float("inf")
 
 
+# ---------------------------------------------------------------------------
+# Cross-host (multi-process DP) evaluation via sufficient statistics.
+#
+# Under multi-host DP each process holds only its 1/N shard of the eval set.
+# IS (splits=1, the reference's operating point, `model.py:95`) and FID are
+# both functions of per-sample sums, so each host computes local MOMENTS,
+# the moments are summed across processes, and every host derives the SAME
+# score over the FULL eval set — numerically the single-host semantics of
+# reference `src/deep_fusion_gan/model.py:239-280`.
+#
+# Distributed hygiene: nothing raises between a host computing its moments
+# and the collective reduction (a one-host exception would desync the
+# allgather and hang the other hosts); NaN presence travels as a reduced
+# flag and is decided identically everywhere afterwards.
+# ---------------------------------------------------------------------------
+
+def activation_moments(inception_params, images: jnp.ndarray,
+                       batch_size: int = 8) -> dict:
+    """Summable pool3-activation statistics of a LOCAL image shard:
+    {sum [2048], outer [2048,2048], n, nan}. Sum across hosts, then
+    `stats_from_moments` recovers exactly `activation_stats`'s (mu, sigma)
+    over the union of the shards."""
+    act = _batched(_features_batch, inception_params, images,
+                   batch_size).astype(np.float64)
+    nan = np.float64(np.isnan(act).any())
+    act = np.nan_to_num(act)  # keep the collective payload finite
+    return {"sum": act.sum(axis=0), "outer": act.T @ act,
+            "n": np.float64(act.shape[0]), "nan": nan}
+
+
+def stats_from_moments(m: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) from summed activation moments; matches np.cov's ddof=1
+    normalization used by `activation_stats`."""
+    n = m["n"]
+    mu = m["sum"] / n
+    sigma = (m["outer"] - n * np.outer(mu, mu)) / (n - 1.0)
+    return mu, sigma
+
+
+def is_moments(inception_params, images: jnp.ndarray,
+               batch_size: int = 8) -> dict:
+    """Summable Inception-Score statistics of a LOCAL shard (splits=1):
+    {sum_p [n_classes], sum_plogp, n}. With py = sum_p/n + eps the global
+    mean KL is sum_plogp/n - sum(py*log(py)) — algebraically identical to
+    `compute_inception_score`'s per-sample KL mean (same 1e-10 epsilons)."""
+    preds = _batched(_logits_batch, inception_params, images, batch_size)
+    preds = np.nan_to_num(preds, nan=1.0 / 1000, posinf=1.0 / 1000,
+                          neginf=1.0 / 1000).astype(np.float64)
+    sum_plogp = np.sum((preds + 1e-10) * np.log(preds + 1e-10))
+    return {"sum_p": preds.sum(axis=0), "sum_plogp": np.float64(sum_plogp),
+            "n": np.float64(preds.shape[0])}
+
+
+def is_from_moments(m: dict) -> float:
+    try:
+        py = m["sum_p"] / m["n"] + 1e-10
+        mean_kl = m["sum_plogp"] / m["n"] - np.sum(py * np.log(py))
+        return float(np.exp(mean_kl))
+    except Exception as e:  # reference failure sentinel (`metrics.py:58-60`)
+        print(f"Error in IS calculation: {e}")
+        return 1.0
+
+
+def allreduce_moments(tree):
+    """Sum every moment leaf across JAX processes. Collective: every process
+    must call it with the same tree structure. fp64 fidelity requires the
+    x64 context (without it the gather silently truncates to fp32 and the
+    outer-product sums lose the precision FID needs)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    with jax.enable_x64():
+        stacked = multihost_utils.process_allgather(tree)
+    return jax.tree.map(lambda x: np.asarray(x).sum(axis=0), stacked)
+
+
+def compute_is_fid_multihost(
+        inception_params, fake_images: jnp.ndarray,
+        real_images: Optional[jnp.ndarray] = None,
+        real_moments: Optional[dict] = None,
+        batch_size: int = 8) -> Tuple[float, float]:
+    """IS + FID over eval shards distributed across processes.
+
+    `fake_images` / `real_images` are this process's LOCAL shards; the
+    returned scores cover the union across all processes and are identical
+    on every process. Pass `real_moments` (from `activation_moments`, local)
+    to reuse the cached real side; all processes must make the same choice.
+    """
+    local = {"fake_is": is_moments(inception_params, fake_images, batch_size),
+             "fake_act": activation_moments(inception_params, fake_images,
+                                            batch_size)}
+    if real_moments is None:
+        real_moments = activation_moments(inception_params, real_images,
+                                          batch_size)
+    local["real_act"] = real_moments
+    reduced = allreduce_moments(local)
+
+    is_score = is_from_moments(reduced["fake_is"])
+    try:
+        if reduced["fake_act"]["nan"] > 0 or reduced["real_act"]["nan"] > 0:
+            raise FloatingPointError("activations contain NaN values")
+        mu1, sigma1 = stats_from_moments(reduced["real_act"])
+        mu2, sigma2 = stats_from_moments(reduced["fake_act"])
+        fid = _frechet_distance(mu1, sigma1, mu2, sigma2, use_scipy=True)
+    except FloatingPointError:
+        print("Warning: Activations contain NaN values")
+        fid = float("inf")
+    except Exception as e:
+        print(f"Error in FID calculation: {e}")
+        fid = float("inf")
+    return is_score, fid
+
+
 def compute_is_fid(inception_params, fake_images: jnp.ndarray,
                    real_images: Optional[jnp.ndarray],
                    batch_size: int = 8, splits: int = 1,

@@ -21,6 +21,11 @@ gamma*c2`, so the learnable scalar is folded into W2/c2 *outside* the kernel
 Backward runs through the plain XLA composition via custom_vjp (the fusion
 win is forward HBM traffic; the backward's dW/dx convs are XLA's strength).
 
+MEASURED NEGATIVE — bit-exact-validated on chip but 0.33-0.81x XLA across
+the generator ladder (ROADMAP.md "Pallas verdict"); deliberately NOT wired
+into the model. Kept as kernel-development evidence; do not call it from the
+forward path expecting a win.
+
 Hardware rules inherited from fused_modconv.py (root-caused in round 1):
   * manual DMA row slices need the sliced array's width dim 8-aligned -> x is
     pre-padded to Wp = align8(W+4) with a 2-col offset;

@@ -87,18 +87,24 @@ class Sampler:
         return self.generate_tokens(np.stack(caps), np.asarray(lens))
 
     def throughput(self, n_batches: int = 10) -> float:
-        """Measured images/sec through the compiled pipeline (one scan-rolled
-        dispatch; see bench.py for why per-dispatch timing is avoided)."""
-        import time
+        """Measured images/sec through the compiled pipeline.
+
+        Follows the repo's relay timing rules (CLAUDE.md, root-caused in
+        bench.py): iters rolled into ONE lax.scan dispatch, the scan carry
+        consuming the full output, params passed as jit ARGUMENTS, and both
+        the warmup and the timed window ended by a VALUE FETCH — through the
+        TPU relay `jax.block_until_ready` can return before execution
+        completes, so it must not be the sync. The timed call also gets a
+        different input value (the warmup's output) than the warmup did."""
+        import time as _t
 
         bs = self.batch_size
         captions = jnp.ones((bs, self.cfg.text_encoder.max_len), jnp.int32)
         cap_lens = jnp.full((bs,), self.cfg.text_encoder.max_len, jnp.int32)
-        g, te = self._g_params, self._te_params
         cfg = self.cfg
 
         @jax.jit
-        def run(noise):
+        def run(g, te, noise):
             def body(nz, _):
                 sents = text_encoder_apply(te, cfg.text_encoder, captions,
                                            cap_lens)
@@ -107,12 +113,11 @@ class Sampler:
             out, _ = jax.lax.scan(body, noise, None, length=n_batches)
             return out
 
+        g, te = self._g_params, self._te_params
         noise = self._next_noise(bs)
-        o = run(noise)
-        jax.block_until_ready(o)
-        import time as _t
+        warm = np.asarray(run(g, te, noise))  # value fetch = real sync
         t0 = _t.perf_counter()
-        o = run(noise)
-        jax.block_until_ready(o)
+        out = np.asarray(run(g, te, jnp.asarray(warm)))
         dt = _t.perf_counter() - t0
+        assert np.isfinite(out).all()
         return bs * n_batches / dt

@@ -10,6 +10,7 @@ loses RNG state across restarts.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Any, Dict, List, Optional, Tuple
@@ -23,9 +24,68 @@ from .state import TrainState
 HISTORY_KEYS = ("g_losses", "d_losses", "d_gp_losses", "is_scores",
                 "fid_scores", "txtimg_losses")
 
+# Config fields that may legitimately differ between the run that wrote a
+# checkpoint and the run resuming from it (extending training, moving the
+# dataset, changing save cadence). Everything else changing silently would
+# either crash on tree-structure mismatch or — worse — train with different
+# semantics, so restore fails loudly on it.
+CONFIG_RESUME_MUTABLE = frozenset({
+    "train.num_epochs",
+    "train.checkpoint_every_epochs",
+    "train.numbered_checkpoint_every",
+    "train.eval_use_ema",
+    "train.eval_max_batches",
+    "data.data_dir",
+})
+
 
 def empty_histories() -> Dict[str, List[float]]:
     return {k: [] for k in HISTORY_KEYS}
+
+
+def _broadcast_json_from_primary(obj: Optional[Any]) -> Any:
+    """Broadcast a small JSON-serializable object from process 0 to all
+    processes (two collectives: payload length, then the padded payload as
+    uint8). Single-process: identity."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    primary = jax.process_index() == 0
+    payload = (np.frombuffer(json.dumps(obj).encode(), dtype=np.uint8)
+               if primary else np.zeros((0,), np.uint8))
+    n = int(multihost_utils.broadcast_one_to_all(np.int32(payload.size)))
+    buf = np.zeros((n,), np.uint8)
+    if primary:
+        buf[:] = payload
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return json.loads(out.tobytes().decode())
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def config_mismatches(saved: Dict[str, Any], current: Dict[str, Any]
+                      ) -> List[str]:
+    """Human-readable list of semantic config differences (allowlisted
+    resume-mutable fields excluded)."""
+    flat_saved, flat_cur = _flatten(saved), _flatten(current)
+    lines = []
+    for path in sorted(set(flat_saved) | set(flat_cur)):
+        if path in CONFIG_RESUME_MUTABLE:
+            continue
+        a, b = flat_saved.get(path, "<absent>"), flat_cur.get(path, "<absent>")
+        if a != b:
+            lines.append(f"  {path}: checkpoint={a!r} current={b!r}")
+    return lines
 
 
 class CheckpointManager:
@@ -43,18 +103,20 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, epoch: int, state: TrainState,
-             histories: Dict[str, List[float]]) -> None:
+             histories: Dict[str, List[float]],
+             config: Any = None) -> None:
         # Multi-host DP: orbax's Checkpointer.save is a COLLECTIVE — every
         # process must call it (it runs sync_global_processes barriers and
         # internally restricts filesystem writes to the primary host), so do
-        # NOT gate it on process_index. Only the plain-JSON side file is
+        # NOT gate it on process_index. Only the plain-JSON side files are
         # process-0-only.
         state = jax.device_get(state)
         latest = self._path("checkpoint")
         self._ckptr.save(latest, state, force=True)
         if jax.process_index() == 0:
-            with open(self._path("histories.json"), "w") as f:
-                json.dump({"epoch": epoch, **histories}, f)
+            self._write_json("histories.json", {"epoch": epoch, **histories})
+            if config is not None:
+                self._write_json("config.json", dataclasses.asdict(config))
         if (epoch + 1) % self.numbered_every == 0:
             self._ckptr.save(self._path(f"checkpoint_epoch_{epoch}"), state,
                              force=True)
@@ -71,17 +133,69 @@ class CheckpointManager:
                     "g_ema_params": jax.device_get(state.g_ema_params)}
         self._ckptr.save(self._path(f"gen_{epoch}"), gen_tree, force=True)
 
+    def _write_json(self, name: str, obj: Any) -> None:
+        """Atomic JSON write: a crash mid-write must not leave a truncated
+        file that a later resume would choke on."""
+        tmp = self._path(name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, self._path(name))
+
     def has_checkpoint(self) -> bool:
-        return os.path.exists(self._path("checkpoint")) and \
+        """Collective resume decision under multi-host DP.
+
+        Process 0 (the host that writes histories.json) inspects the
+        filesystem and broadcasts the verdict, so every host takes the same
+        branch — if each host trusted its own view, a host whose view lags
+        (or a non-shared checkpoint dir) would start fresh while process 0
+        restores, and the lockstep GSPMD state would silently diverge.
+        Orbax itself requires the checkpoint directory to be on a shared
+        filesystem for multi-host restore (PARITY.md notes this)."""
+        local = os.path.exists(self._path("checkpoint")) and \
             os.path.exists(self._path("histories.json"))
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        return bool(multihost_utils.broadcast_one_to_all(
+            np.int32(local if jax.process_index() == 0 else 0)))
+
+    def verify_config(self, config: Any) -> None:
+        """Fail loudly if `config` differs semantically from the config the
+        checkpoint was written with (resume-mutable fields excluded).
+
+        A mismatched config would otherwise either crash deep inside Orbax on
+        a tree-structure mismatch or silently resume training with different
+        semantics. No-op when the checkpoint predates config persistence."""
+        path = self._path("config.json")
+        if not os.path.exists(path) or config is None:
+            return
+        with open(path) as f:
+            saved = json.load(f)
+        lines = config_mismatches(saved, dataclasses.asdict(config))
+        if lines:
+            raise ValueError(
+                "Config mismatch between the checkpoint in "
+                f"{self.directory} and the current run:\n" + "\n".join(lines)
+                + "\nRebuild the run with the checkpoint's config (or use a "
+                "fresh checkpoint directory).")
 
     def restore(self, template: TrainState
                 ) -> Tuple[TrainState, int, Dict[str, List[float]]]:
         """Restore (state, last_completed_epoch, histories). `template` is an
-        abstract/concrete TrainState with the right structure."""
+        abstract/concrete TrainState with the right structure.
+
+        Multi-host: the Orbax restore is collective; histories/epoch are read
+        by process 0 (their author) and broadcast, so every host resumes
+        from the identical epoch even if its own view of the side file is
+        stale or missing."""
         state = self._ckptr.restore(self._path("checkpoint"), template)
-        with open(self._path("histories.json")) as f:
-            blob = json.load(f)
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            with open(self._path("histories.json")) as f:
+                blob = json.load(f)
+        else:
+            blob = None
+        blob = _broadcast_json_from_primary(blob)
         epoch = int(blob.pop("epoch"))
         histories = {k: list(blob.get(k, [])) for k in HISTORY_KEYS}
         return state, epoch, histories

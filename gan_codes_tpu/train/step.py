@@ -137,7 +137,9 @@ def make_train_step(cfg: GANConfig):
 
         if k_interval == 1:
             d_params_2, d_opt_state, gp_loss = run_gp((d_params_1, d_opt_state))
+            gp_active = jnp.float32(1.0)
         else:
+            gp_active = (state.step % k_interval == 0).astype(jnp.float32)
             d_params_2, d_opt_state, gp_loss = jax.lax.cond(
                 state.step % k_interval == 0,
                 run_gp,
@@ -186,6 +188,11 @@ def make_train_step(cfg: GANConfig):
         metrics = {
             "d_loss": d_loss,
             "d_gp_loss": gp_loss,
+            # 1.0 on steps where the GP phase actually ran. With lazy
+            # regularization (gp_interval > 1) the skipped steps emit
+            # d_gp_loss = 0.0, which must be masked OUT of epoch means —
+            # averaging them in understates GP by ~interval x.
+            "d_gp_active": gp_active,
             "g_loss": g_adv,
             "txtimg_loss": txtimg_loss,
         }

@@ -83,6 +83,10 @@ class Trainer:
         self._real_fid_stats = None
         self._eval_rng = self._eval_base
 
+    def close(self) -> None:
+        """Release the JSONL log file handle (idempotent)."""
+        self.metrics_log.close()
+
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
@@ -110,8 +114,20 @@ class Trainer:
             for k, v in metrics.items():
                 metric_accum.setdefault(k, []).append(v)
         # single host sync for the whole epoch
-        return {k: float(np.mean(jax.device_get(v)))
-                for k, v in metric_accum.items()}
+        active = metric_accum.pop("d_gp_active", None)
+        out = {k: np.asarray(jax.device_get(v))
+               for k, v in metric_accum.items()}
+        means = {k: float(np.mean(v)) for k, v in out.items()}
+        if active is not None:
+            # Lazy regularization (gp_interval > 1): average d_gp_loss over
+            # the steps where the GP phase actually ran — skipped steps emit
+            # 0.0 and would understate the epoch mean by ~interval x.
+            mask = np.asarray(jax.device_get(active))
+            n_active = float(mask.sum())
+            means["d_gp_loss"] = (
+                float((out["d_gp_loss"] * mask).sum() / n_active)
+                if n_active > 0 else 0.0)
+        return means
 
     # ------------------------------------------------------------------
 
@@ -147,33 +163,52 @@ class Trainer:
             reals.append(self._to_host(images))
             fakes.append(self._to_host(fake))
             last = (fakes[-1], batch["captions"], batch["cap_lens"])
+        # Reference failure sentinels (`src/evaluation/metrics.py:58-60,
+        # 113-118`): IS baseline 1.0, FID inf. Used when inception weights
+        # are absent / eval has no data — 0.0 would read as a perfect FID
+        # in plots and logs.
         if not fakes:
-            return 0.0, 0.0, None, None, None
+            return 1.0, float("inf"), None, None, None
 
         fake_all = np.concatenate(fakes)
         real_all = np.concatenate(reals)
-        is_score, fid_score = 0.0, 0.0
-        # Multi-host: process 0 alone scores ITS eval shard (1/N of the
-        # set) — compute_is_fid is pure local math, the other processes'
-        # results would feed only never-saved local histories, and FID's
-        # sample-count bias means the number is comparable only at a fixed
-        # host count (documented; a cross-host activation gather would
-        # restore single-host semantics and is future work).
-        if self.inception_params is not None and jax.process_index() == 0:
-            # The test loader is deterministic (shuffle=False, augment=False),
-            # so the real-side FID stats are identical every epoch — compute
-            # once and reuse (halves per-epoch inception cost, same values).
-            real_stats = None
-            # cache only when the real side is genuinely deterministic:
-            # unshuffled AND un-augmented (augment re-draws per-item seeds
-            # every epoch, changing the real images under the cache)
-            deterministic = (
-                getattr(test_loader, "shuffle", True) is False
-                and getattr(getattr(test_loader, "dataset", None),
-                            "augment", True) is False)
+        is_score, fid_score = 1.0, float("inf")
+        # The test loader is deterministic (shuffle=False, augment=False),
+        # so the real-side FID stats are identical every epoch — compute
+        # once and reuse (halves per-epoch inception cost, same values).
+        # Cache only when the real side is genuinely deterministic:
+        # unshuffled AND un-augmented (augment re-draws per-item seeds
+        # every epoch, changing the real images under the cache). Keyed on
+        # the loader object: a different test_loader must not reuse another
+        # set's stats.
+        deterministic = (
+            getattr(test_loader, "shuffle", True) is False
+            and getattr(getattr(test_loader, "dataset", None),
+                        "augment", True) is False)
+        if self.inception_params is not None and jax.process_count() > 1:
+            # Multi-host DP: every process computes moments of ITS eval
+            # shard; the moments are summed across processes
+            # (compute_is_fid_multihost) so the scores cover the FULL eval
+            # set — single-host semantics (`src/deep_fusion_gan/
+            # model.py:239-280`) at any host count, identical on every
+            # process (which keeps each host's histories coherent).
+            from ..eval.metrics import (activation_moments,
+                                        compute_is_fid_multihost)
+            real_m = None
             if deterministic:
-                # keyed on the loader object: a different test_loader (or a
-                # reconfigured one) must not reuse another set's stats
+                if (self._real_fid_stats is None
+                        or self._real_fid_stats[0] is not test_loader):
+                    self._real_fid_stats = (test_loader, activation_moments(
+                        self.inception_params, real_all))
+                real_m = self._real_fid_stats[1]
+            is_score, fid_score = compute_is_fid_multihost(
+                self.inception_params, fake_all, real_all,
+                real_moments=real_m)
+            if jax.process_index() == 0:
+                print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
+        elif self.inception_params is not None:
+            real_stats = None
+            if deterministic:
                 if (self._real_fid_stats is None
                         or self._real_fid_stats[0] is not test_loader):
                     from ..eval.metrics import activation_stats
@@ -237,6 +272,7 @@ class Trainer:
         histories = histories if histories is not None else empty_histories()
 
         if auto_resume and start_epoch == 0 and self.ckpt.has_checkpoint():
+            self.ckpt.verify_config(self.cfg)  # loud fail on semantic drift
             self.state, last_epoch, histories = self.ckpt.restore(self.state)
             start_epoch = last_epoch + 1
             print(f"Resuming from epoch {start_epoch}")
@@ -292,7 +328,7 @@ class Trainer:
             every = self.cfg.train.checkpoint_every_epochs
             if ((epoch + 1) % every == 0 or epoch == num_epochs - 1
                     or (epoch + 1) % self.ckpt.numbered_every == 0):
-                self.ckpt.save(epoch, self.state, histories)
+                self.ckpt.save(epoch, self.state, histories, config=self.cfg)
 
             dt = time.time() - t0
             if jax.process_index() == 0:

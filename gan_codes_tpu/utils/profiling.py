@@ -80,7 +80,9 @@ class MetricsLogger:
 
         A resumed run replays the epochs after the last checkpoint (with
         `checkpoint_every_epochs > 1` up to k-1 of them); their old rows
-        would otherwise duplicate and break one-row-per-epoch consumers."""
+        would otherwise duplicate and break one-row-per-epoch consumers.
+        The rewrite goes through a temp file + atomic rename so a crash
+        mid-truncate cannot lose the whole log."""
         self._fh.close()
         kept = []
         if os.path.exists(self.path):
@@ -92,8 +94,10 @@ class MetricsLogger:
                         continue
                     if rec.get("epoch", -1) < epoch:
                         kept.append(line)
-        with open(self.path, "w") as f:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
             f.writelines(kept)
+        os.replace(tmp, self.path)
         self._fh = open(self.path, "a")
 
     def close(self) -> None:

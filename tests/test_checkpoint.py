@@ -54,6 +54,72 @@ class TestCheckpointRoundTrip:
         assert "checkpoint_epoch_0" not in names
         assert "gen_0" in names and "gen_1" in names
 
+    def test_config_persisted_and_verified(self, tmp_path):
+        """The checkpoint records its GANConfig; resuming with a semantically
+        different config fails loudly with a readable diff, while
+        resume-mutable fields (num_epochs etc.) may change freely."""
+        import dataclasses
+        import os
+
+        import pytest
+
+        cfg = tiny_cfg()
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state, empty_histories(), config=cfg)
+        assert os.path.exists(str(tmp_path / "ckpt" / "config.json"))
+
+        mgr.verify_config(cfg)  # identical: fine
+
+        grown = dataclasses.replace(
+            cfg, generator=dataclasses.replace(cfg.generator, n_channels=8))
+        with pytest.raises(ValueError) as err:
+            mgr.verify_config(grown)
+        assert "generator.n_channels" in str(err.value)
+        assert "4" in str(err.value) and "8" in str(err.value)
+
+        extended = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, num_epochs=999))
+        mgr.verify_config(extended)  # allowlisted: fine
+
+        # checkpoints predating config persistence verify as a no-op
+        os.remove(str(tmp_path / "ckpt" / "config.json"))
+        mgr.verify_config(grown)
+
+    def test_trainer_resume_rejects_changed_config(self, tmp_path):
+        """Trainer.fit(auto_resume=True) refuses to restore a checkpoint
+        written under a different architecture config."""
+        import dataclasses
+
+        import pytest
+
+        from gan_codes_tpu.config import DataConfig, TrainConfig
+        from gan_codes_tpu.data import CUBDataset, DataLoader, make_synthetic_cub
+        from gan_codes_tpu.models.text_encoder import init_text_encoder
+        from gan_codes_tpu.train.trainer import Trainer
+
+        root = str(tmp_path / "data")
+        info = make_synthetic_cub(root, n_train=4, n_test=2, image_size=16)
+        cfg = dataclasses.replace(
+            tiny_cfg(),
+            text_encoder=TextEncoderConfig(vocab_size=info["n_words"],
+                                           embed_dim=8, hidden_dim=256,
+                                           max_len=18),
+            train=TrainConfig(batch_size=4, eval_max_batches=1))
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        ds = CUBDataset(DataConfig(data_dir=root, image_size=16), "train")
+        ckpt_dir = str(tmp_path / "ckpt2")
+        trainer = Trainer(cfg, te, ckpt_dir, str(tmp_path / "imgs"))
+        trainer.fit(DataLoader(ds, 4, seed=0), num_epochs=1,
+                    auto_resume=False)
+
+        changed = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, gp_coef=3.0))
+        trainer2 = Trainer(changed, te, ckpt_dir, str(tmp_path / "imgs"))
+        with pytest.raises(ValueError, match="loss.gp_coef"):
+            trainer2.fit(DataLoader(ds, 4, seed=0), num_epochs=2,
+                         auto_resume=True)
+
     def test_latest_generator_epoch(self, tmp_path):
         cfg = tiny_cfg()
         state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)

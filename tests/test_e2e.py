@@ -194,6 +194,55 @@ class TestTrainerE2E:
         trainer.evaluate(other)
         assert len(calls) == 5  # new loader object: real side recomputed
 
+    def test_evaluate_without_inception_uses_reference_sentinels(self, setup):
+        """Absent inception weights must yield the reference failure
+        sentinels IS=1.0 / FID=inf (`src/evaluation/metrics.py:58-60,
+        113-118`), not 0.0 — zeros read as a perfect FID in plots/logs."""
+        cfg, train_ds, test_ds, te_params, work = setup
+        trainer = Trainer(cfg, te_params, os.path.join(work, "sent_ckpt"),
+                          os.path.join(work, "sent_imgs"),
+                          code2word=train_ds.code2word)
+        loader = DataLoader(test_ds, 4, shuffle=False)
+        is_score, fid_score, *_ = trainer.evaluate(loader)
+        assert is_score == 1.0
+        assert fid_score == float("inf")
+        # empty eval set takes the same sentinels
+        is2, fid2, *_ = trainer.evaluate([])
+        assert (is2, fid2) == (1.0, float("inf"))
+
+    def test_gp_interval_epoch_mean_masks_skipped_steps(self, setup):
+        """With lazy regularization (gp_interval=2) the epoch-mean GP loss
+        averages only the steps where the GP phase ran; skipped steps emit
+        0.0 and previously diluted the mean by ~interval x."""
+        import dataclasses
+        from gan_codes_tpu.train.step import make_train_step
+
+        cfg, train_ds, _, te_params, work = setup
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, gp_interval=2))
+        trainer = Trainer(cfg, te_params, os.path.join(work, "gpi_ckpt"),
+                          os.path.join(work, "gpi_imgs"),
+                          code2word=train_ds.code2word)
+        # replay the same batches through a raw (non-donating) step to get
+        # the unmasked per-step gp losses
+        loader = DataLoader(train_ds, 4, seed=7)
+        raw_step = jax.jit(make_train_step(cfg))
+        state = trainer.state
+        per_step = []
+        for batch in loader:
+            images, captions, cap_lens = trainer._device_batch(batch)
+            state, metrics = raw_step(state, trainer.text_encoder_params,
+                                      images, captions, cap_lens)
+            per_step.append((float(metrics["d_gp_loss"]),
+                             float(metrics["d_gp_active"])))
+        assert [a for _, a in per_step] == [1.0, 0.0]  # interval 2, 2 steps
+
+        epoch_metrics = trainer.train_epoch(DataLoader(train_ds, 4, seed=7))
+        active_losses = [l for l, a in per_step if a == 1.0]
+        np.testing.assert_allclose(epoch_metrics["d_gp_loss"],
+                                   np.mean(active_losses), rtol=1e-6)
+        assert "d_gp_active" not in epoch_metrics
+
     def test_generate_ema_vs_raw_diverge(self, setup):
         """After training steps, EMA and raw generator outputs differ for the
         same captions+noise (the EMA copy is connected, not dead state)."""

@@ -108,6 +108,67 @@ class TestScores:
         assert np.isfinite(score)
 
 
+class TestMomentPath:
+    """The cross-host moment formulation must be a pure reordering of the
+    direct single-host IS/FID math — shard, sum moments, score == score of
+    the concatenated set (this is what makes multi-host eval semantics
+    identical to the reference's single-device eval)."""
+
+    def test_sharded_moments_match_direct_fid(self, inception_params):
+        from gan_codes_tpu.eval.metrics import (activation_moments,
+                                                activation_stats,
+                                                stats_from_moments)
+        imgs = jax.random.uniform(KEY, (10, 32, 32, 3), minval=-1, maxval=1)
+        mu_d, sigma_d = activation_stats(inception_params, imgs, batch_size=5)
+        # two unequal "process shards"
+        m1 = activation_moments(inception_params, imgs[:4], batch_size=4)
+        m2 = activation_moments(inception_params, imgs[4:], batch_size=3)
+        summed = {k: m1[k] + m2[k] for k in m1}
+        mu_m, sigma_m = stats_from_moments(summed)
+        np.testing.assert_allclose(mu_m, mu_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(sigma_m, sigma_d, rtol=1e-5, atol=1e-9)
+
+    def test_sharded_moments_match_direct_is(self, inception_params):
+        from gan_codes_tpu.eval.metrics import is_from_moments, is_moments
+        imgs = jax.random.uniform(jax.random.fold_in(KEY, 7),
+                                  (10, 32, 32, 3), minval=-1, maxval=1)
+        direct = compute_inception_score(inception_params, imgs,
+                                         batch_size=5, splits=1)
+        m1 = is_moments(inception_params, imgs[:6], batch_size=3)
+        m2 = is_moments(inception_params, imgs[6:], batch_size=4)
+        summed = {k: m1[k] + m2[k] for k in m1}
+        np.testing.assert_allclose(is_from_moments(summed), direct, rtol=1e-6)
+
+    def test_multihost_entry_single_process(self, inception_params):
+        """compute_is_fid_multihost degrades to the direct scores when
+        process_count == 1 (allreduce is the identity)."""
+        from gan_codes_tpu.eval.metrics import compute_is_fid_multihost
+        fake = jax.random.uniform(KEY, (8, 32, 32, 3), minval=-1, maxval=1)
+        real = jax.random.uniform(jax.random.fold_in(KEY, 3),
+                                  (8, 32, 32, 3), minval=-1, maxval=1)
+        is_m, fid_m = compute_is_fid_multihost(inception_params, fake, real,
+                                               batch_size=4)
+        is_d, fid_d = compute_is_fid(inception_params, fake, real,
+                                     batch_size=4)
+        np.testing.assert_allclose(is_m, is_d, rtol=1e-6)
+        np.testing.assert_allclose(fid_m, fid_d, rtol=1e-4, atol=1e-8)
+
+    def test_nan_activation_flag_gives_inf_fid(self, inception_params):
+        """A NaN anywhere in either side's activations must reduce to the
+        reference's FID failure sentinel (inf) without raising before the
+        collective (distributed-deadlock hygiene)."""
+        from gan_codes_tpu.eval.metrics import (activation_moments,
+                                                compute_is_fid_multihost)
+        fake = jax.random.uniform(KEY, (4, 32, 32, 3), minval=-1, maxval=1)
+        real_m = activation_moments(inception_params, fake, batch_size=4)
+        real_m = dict(real_m, nan=np.float64(1.0))
+        is_s, fid = compute_is_fid_multihost(inception_params, fake,
+                                             real_moments=real_m,
+                                             batch_size=4)
+        assert fid == float("inf")
+        assert np.isfinite(is_s)
+
+
 class TestSqrtm:
     def test_newton_schulz_matches_scipy(self):
         from scipy import linalg

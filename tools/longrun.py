@@ -8,8 +8,16 @@ identical per-epoch loss histories. Equivalence holds because checkpoints
 carry the step RNG, the loader's shuffle/augment stream is epoch-keyed
 (DataLoader.set_epoch), and eval noise is epoch-keyed in Trainer.fit.
 
-Artifacts (curves, step-time stability, equivalence report) go to
---out (default artifacts/longrun/).
+Beyond resume-equivalence, the run also produces TRAINING-QUALITY evidence
+(VERDICT r2 item #8): per-epoch sample grids (first/quartile/last epochs
+copied into --out) and loss-health band assertions over the whole run — the
+epoch-mean D hinge loss must stay inside a sane band and the G adversarial
+loss must not run away (the mode-collapse signature), all values finite.
+Bands are calibrated from the round-2 30-epoch 256px on-chip run
+(d_loss 1.05-2.23, g_loss -0.55-6.24; artifacts/longrun/).
+
+Artifacts (curves, sample grids, step-time stability, equivalence + health
+report) go to --out (default artifacts/longrun/).
 
 Usage: python tools/longrun.py [--epochs 30] [--kill-after-epoch 14]
                                [--batch-size 24] [--dtype float32]
@@ -145,6 +153,41 @@ def main():
     plot_losses(ha["g_losses"], ha["d_losses"], ha["d_gp_losses"],
                 os.path.join(a.out, "loss_curves.png"))
 
+    # sample grids: the visual proof the GAN trains, not just resumes.
+    # Keep first / quartile / last epochs (full set stays in --work logs).
+    grid_dir = os.path.join(a.out, "sample_grids")
+    os.makedirs(grid_dir, exist_ok=True)
+    keep_epochs = sorted({0, a.epochs // 4, a.epochs // 2,
+                          3 * a.epochs // 4, a.epochs - 1})
+    copied_grids = []
+    for e in keep_epochs:
+        for name in (f"fake_sample_epoch_{e}.png",
+                     f"samples_with_text_epoch_{e}.jpg"):
+            src = os.path.join(a.work, "straight", "images", name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(grid_dir, name))
+                copied_grids.append(name)
+    assert copied_grids, "no sample grids were produced by the run"
+
+    # loss-health bands over EVERY epoch (epoch means; bands calibrated
+    # from the round-2 on-chip 256px run, see module docstring). A dying D
+    # pins d_loss near 0 or >4; a mode-collapse / divergence signature is
+    # |g_loss| running away; everything must be finite.
+    health = {
+        "finite": all(np.isfinite(ha[k]).all() for k in
+                      ("g_losses", "d_losses", "d_gp_losses")),
+        "d_loss_band": bool(np.all((np.array(ha["d_losses"]) > 0.0)
+                                   & (np.array(ha["d_losses"]) < 4.0))),
+        "g_loss_band": bool(np.all(np.abs(ha["g_losses"]) < 20.0)),
+        "gp_nonnegative": bool(np.all(np.array(ha["d_gp_losses"]) >= 0.0)),
+        "d_loss_range": [float(np.min(ha["d_losses"])),
+                         float(np.max(ha["d_losses"]))],
+        "g_loss_range": [float(np.min(ha["g_losses"])),
+                         float(np.max(ha["g_losses"]))],
+    }
+    health["ok"] = (health["finite"] and health["d_loss_band"]
+                    and health["g_loss_band"] and health["gp_nonnegative"])
+
     epoch_secs = []
     for line in open(os.path.join(a.out, "metrics_straight.jsonl")):
         epoch_secs.append(json.loads(line)["epoch_seconds"])
@@ -163,13 +206,16 @@ def main():
         "param_mismatches": mismatches,
         "histories_equal": hist_equal,
         "equivalent": not mismatches and all(hist_equal.values()),
+        "sample_grids": copied_grids,
+        "loss_health": health,
     }
     with open(os.path.join(a.out, "LONGRUN.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2), flush=True)
     assert report["equivalent"], "kill-and-resume NOT equivalent!"
-    print("LONGRUN OK: kill-and-resume bit-identical to uninterrupted run",
-          flush=True)
+    assert health["ok"], f"loss-health bands violated: {health}"
+    print("LONGRUN OK: kill-and-resume bit-identical; loss health in band; "
+          f"{len(copied_grids)} sample grids in {grid_dir}", flush=True)
 
 
 if __name__ == "__main__":

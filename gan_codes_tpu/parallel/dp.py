@@ -36,6 +36,7 @@ def make_parallel_train_step(cfg: GANConfig, mesh: Mesh,
                       batch_sharded),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate_state else (),
+        compiler_options=cfg.train.step_compiler_options(),
     )
 
 

@@ -202,6 +202,10 @@ def make_train_step(cfg: GANConfig):
 
 
 def make_jitted_train_step(cfg: GANConfig):
-    """Single-device jitted step with state donation (buffers reused in-place)."""
+    """Single-device jitted step with state donation (buffers reused in-place).
+
+    `cfg.train.xla_scoped_vmem_kib` ships a scoped-VMEM budget to the TPU
+    compiler (measured +2.8% at bf16 bs128; see TrainConfig)."""
     step = make_train_step(cfg)
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,),
+                   compiler_options=cfg.train.step_compiler_options())

@@ -69,7 +69,9 @@ class Trainer:
             self._step_fn = make_parallel_train_step(cfg, mesh)
         else:
             self.text_encoder_params = jax.device_put(text_encoder_params)
-            self._step_fn = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+            from .step import make_jitted_train_step
+
+            self._step_fn = make_jitted_train_step(cfg)
         self._normalize = jax.jit(
             lambda u8: u8.astype(jnp.float32) / 127.5 - 1.0)
         self._sample_fn = jax.jit(

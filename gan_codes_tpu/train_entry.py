@@ -29,7 +29,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           data_parallel: bool = False, multihost: bool = False,
           damsm_weight: float = 0.0, gp_compute_dtype: str = "float32",
           eval_use_ema: bool = False, gp_interval: int = 1,
-          remat_g: bool = False, ckpt_every: int = 1):
+          remat_g: bool = False, ckpt_every: int = 1,
+          xla_vmem_kib: Optional[int] = None):
     import jax
 
     if debug_nans:
@@ -64,7 +65,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
         generator_overrides={"remat_blocks": remat_g},
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
-        checkpoint_every_epochs=ckpt_every)
+        checkpoint_every_epochs=ckpt_every,
+        xla_scoped_vmem_kib=xla_vmem_kib)
 
     # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
     # always-on and a no-op outside --multihost).
@@ -143,6 +145,11 @@ def main():
     p.add_argument("--remat-g", action="store_true",
                    help="jax.checkpoint the G blocks: recompute modulation "
                         "chains in the backward instead of saving them")
+    p.add_argument("--xla-vmem-kib", type=int, default=None,
+                   help="TPU scoped-VMEM budget hint for the train-step "
+                        "compile (xla_tpu_scoped_vmem_limit_kib; 65536 "
+                        "measured +2.8%% on v5e at bf16 bs128). Exact math; "
+                        "no effect on CPU")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
@@ -156,7 +163,8 @@ def main():
           debug_nans=a.debug_nans, data_parallel=a.dp, multihost=a.multihost,
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
-          remat_g=a.remat_g, ckpt_every=a.ckpt_every)
+          remat_g=a.remat_g, ckpt_every=a.ckpt_every,
+          xla_vmem_kib=a.xla_vmem_kib)
 
 
 if __name__ == "__main__":

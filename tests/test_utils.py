@@ -95,3 +95,27 @@ class TestBatchHelpers:
         u8 = np.array([0, 127.5, 255], np.uint8)
         out = normalize_images_np(u8)
         assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+class TestCompilerOptions:
+    """TrainConfig.step_compiler_options: the scoped-VMEM hint must ship
+    ONLY on TPU backends — the flag is unknown to the CPU compiler and
+    would fail every test-suite compile."""
+
+    def test_none_by_default(self):
+        from gan_codes_tpu.config import TrainConfig
+        assert TrainConfig().step_compiler_options() is None
+
+    def test_suppressed_on_cpu(self):
+        from gan_codes_tpu.config import TrainConfig
+        cfg = TrainConfig(xla_scoped_vmem_kib=65536)
+        # conftest forces the CPU platform for the whole suite
+        assert cfg.step_compiler_options() is None
+
+    def test_emitted_for_tpu(self, monkeypatch):
+        import jax
+        from gan_codes_tpu.config import TrainConfig
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = TrainConfig(xla_scoped_vmem_kib=65536)
+        assert cfg.step_compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "65536"}

@@ -157,14 +157,22 @@ def res_block_d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     h = nn.leaky_relu(h)
 
     # The reference computes avg_pool(conv1x1(x) + bias) (`src/discriminator/
-    # residual_block.py` shortcut); the mean over 2x2 windows commutes with
-    # the 1x1 conv and its bias, so pooling FIRST is mathematically identical
-    # while doing 4x fewer shortcut MACs and never materializing the full-res
-    # out_ch feature map (at 256^2 x 2B that intermediate is ~2GB of HBM
-    # traffic per direction). Bitwise this reassociates the float sums;
-    # parity tests pass at their existing tolerances.
-    shortcut = nn.avg_pool2d(x, 2)
+    # residual_block.py` shortcut). Both ops are linear maps, so their
+    # composition is ONE 2x2 stride-2 conv whose kernel is the 1x1 kernel
+    # replicated over the window / 4 (bias unchanged) — mathematically
+    # identical (float sums reassociated; parity tests pass at existing
+    # tolerances) while never materializing either intermediate. The device
+    # trace put 8% of the bf16-bs128 step in the pooled-shortcut
+    # reduce_windows (artifacts/trace_r3/WALL.md); the fold measured
+    # 578.4 vs 555.0 img/s on the full step (tools/pool_ab.py, +4.2%).
+    # When channels match (no shortcut_conv) the identity branch keeps the
+    # plain pool (pool-first commute of round 2: 4x fewer MACs than the
+    # reference order, ~2GB less HBM traffic per direction at 256^2).
     if "shortcut_conv" in params:
-        shortcut = nn.conv2d(params["shortcut_conv"], shortcut, stride=1,
-                             padding=0)
+        w1 = params["shortcut_conv"]["w"]  # [1, 1, in_ch, out_ch]
+        folded = dict(params["shortcut_conv"],
+                      w=jnp.broadcast_to(w1 / 4.0, (2, 2) + w1.shape[2:]))
+        shortcut = nn.conv2d(folded, x, stride=2, padding=0)
+    else:
+        shortcut = nn.avg_pool2d(x, 2)
     return shortcut + params["gamma"].astype(x.dtype) * h

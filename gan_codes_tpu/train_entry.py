@@ -30,9 +30,16 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           damsm_weight: float = 0.0, gp_compute_dtype: str = "float32",
           eval_use_ema: bool = False, gp_interval: int = 1,
           remat_g: bool = False, ckpt_every: int = 1,
-          xla_vmem_kib: Optional[int] = None):
+          xla_vmem_kib: Optional[int] = None,
+          matmul_precision: Optional[str] = None):
     import jax
 
+    if matmul_precision:
+        # TPU matmuls/convs on fp32 inputs default to bf16 multiplies with
+        # fp32 accumulation ('default'). 'highest' forces true fp32 via
+        # multi-pass bf16 (~4.5x slower at the fp32-bs24 point, PERF.md);
+        # the reference's CUDA fp32 corresponds to 'highest'.
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
     if debug_nans:
         # jax-native analogue of the reference's NaN guards (SURVEY §5):
         # fail fast with a traceback instead of guarding silently.
@@ -150,6 +157,12 @@ def main():
                         "compile (xla_tpu_scoped_vmem_limit_kib; 65536 "
                         "measured +2.8%% on v5e at bf16 bs128). Exact math; "
                         "no effect on CPU")
+    p.add_argument("--matmul-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="jax_default_matmul_precision. TPU fp32 matmuls/"
+                        "convs default to bf16 multiplies + fp32 accumulate;"
+                        " 'highest' = true fp32 (multi-pass, ~4.5x slower "
+                        "at fp32 bs24 — matches the reference's CUDA fp32)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
@@ -164,7 +177,7 @@ def main():
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
           remat_g=a.remat_g, ckpt_every=a.ckpt_every,
-          xla_vmem_kib=a.xla_vmem_kib)
+          xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision)
 
 
 if __name__ == "__main__":

@@ -332,3 +332,31 @@ class TestTrainEntryFunction:
         import os
         assert os.path.exists(str(tmp_path / "weights" / "checkpoint"))
         assert os.path.exists(str(tmp_path / "weights" / "metrics_log.jsonl"))
+
+    def test_matmul_precision_knob_plumbs_to_jax_config(self, tmp_path,
+                                                        monkeypatch):
+        """`--matmul-precision highest` must set jax_default_matmul_precision
+        BEFORE any compute (true-fp32 semantics, PARITY.md). Intercept at
+        fix_seed (the first call after the config updates) to keep the test
+        cheap — no train-step compile."""
+        import jax
+
+        from gan_codes_tpu import train_entry
+        from gan_codes_tpu.train_entry import train
+
+        seen = {}
+
+        def probe(_seed):
+            seen["precision"] = jax.config.jax_default_matmul_precision
+            raise RuntimeError("stop-after-config")
+
+        monkeypatch.setattr(train_entry, "fix_seed", probe)
+        before = jax.config.jax_default_matmul_precision
+        try:
+            with pytest.raises(RuntimeError, match="stop-after-config"):
+                train(data_path=str(tmp_path), encoder_weights_path=None,
+                      matmul_precision="highest")
+            assert seen["precision"] == "highest"
+        finally:
+            jax.config.update("jax_default_matmul_precision",
+                              before if before is not None else "default")

@@ -318,7 +318,7 @@ def main():
       f"/ {iters} steps")
     w(f"- device busy: **{dev_ms:.1f} ms/step** -> "
       f"{batch / (dev_ms / 1e3):.1f} img/s device-roofline "
-      f"(bench.py measures ~563 with the vmem hint)")
+      f"(compare bench.py's scan-rolled measurement at the same point)")
     w(f"- convolution FLOPs/step (counted from HLO): "
       f"{total_conv_flops / 1e12:.2f} TFLOP")
     w(f"- achieved vs device-busy time: **{overall_tf:.1f} TFLOP/s** "
@@ -391,7 +391,7 @@ def main():
     w(f"2. Backward work is {next(v[0] for k, v in by_dir if k == 'backward') / dev_ms * 100:.0f}% "
       "of the step — the MA-GP double backward triples D cost at exact "
       "reference semantics (the semantic escape hatch is opt-in "
-      "`--gp-interval`, reported separately: 679.7 img/s at interval 4).")
+      "`--gp-interval`, reported separately in bench.py's JSON).")
     w(f"3. Non-conv time (pools, reduces, elementwise epilogues, scan "
       f"plumbing) is {100 * (dev_ms - conv_ms) / dev_ms:.0f}% and already "
       "fused by XLA; no single non-conv op exceeds ~1% of the step.")

@@ -38,9 +38,15 @@ class Sampler:
         self._rng = jax.random.PRNGKey(seed)
 
         def pipeline(g_params, te_params, captions, cap_lens, noise):
+            # Serve at the params' dtype: noise arrives fp32 from the host
+            # PRNG; without the cast, bf16 weights + fp32 activations
+            # promote the whole ladder back to fp32 (the train step casts
+            # for the same reason, train/step.py).
+            dt = jax.tree.leaves(g_params)[0].dtype
             sents = text_encoder_apply(te_params, cfg.text_encoder,
                                        captions, cap_lens)
-            return generator_apply(g_params, cfg.generator, noise, sents)
+            return generator_apply(g_params, cfg.generator,
+                                   noise.astype(dt), sents)
 
         self._pipeline = jax.jit(pipeline)
 
@@ -99,25 +105,35 @@ class Sampler:
         import time as _t
 
         bs = self.batch_size
-        captions = jnp.ones((bs, self.cfg.text_encoder.max_len), jnp.int32)
-        cap_lens = jnp.full((bs,), self.cfg.text_encoder.max_len, jnp.int32)
         cfg = self.cfg
 
         @jax.jit
-        def run(g, te, noise):
-            def body(nz, _):
-                sents = text_encoder_apply(te, cfg.text_encoder, captions,
-                                           cap_lens)
-                img = generator_apply(g, cfg.generator, nz, sents)
-                return nz + 1e-6 * jnp.mean(img), None
-            out, _ = jax.lax.scan(body, noise, None, length=n_batches)
+        def run(g, te, captions, cap_lens, noise):
+            gdt = jax.tree.leaves(g)[0].dtype
+
+            def body(nz, i):
+                # Roll the caption batch by the per-iteration index so the
+                # encoder input is NOT loop-invariant — otherwise XLA
+                # hoists the whole text-encoder out of the scan (relay
+                # rule 3) and the benchmark times n_batches generates but
+                # only ONE encode.
+                caps = jnp.roll(captions, i, axis=0)
+                lens = jnp.roll(cap_lens, i, axis=0)
+                sents = text_encoder_apply(te, cfg.text_encoder, caps, lens)
+                img = generator_apply(g, cfg.generator, nz.astype(gdt),
+                                      sents)
+                return nz + 1e-6 * jnp.mean(img).astype(nz.dtype), None
+
+            out, _ = jax.lax.scan(body, noise, jnp.arange(n_batches))
             return out
 
         g, te = self._g_params, self._te_params
+        captions = jnp.ones((bs, cfg.text_encoder.max_len), jnp.int32)
+        cap_lens = jnp.full((bs,), cfg.text_encoder.max_len, jnp.int32)
         noise = self._next_noise(bs)
-        warm = np.asarray(run(g, te, noise))  # value fetch = real sync
-        t0 = _t.perf_counter()
-        out = np.asarray(run(g, te, jnp.asarray(warm)))
+        warm = np.asarray(run(g, te, captions, cap_lens, noise))  # value
+        t0 = _t.perf_counter()                       # fetch = real sync
+        out = np.asarray(run(g, te, captions, cap_lens, jnp.asarray(warm)))
         dt = _t.perf_counter() - t0
         assert np.isfinite(out).all()
         return bs * n_batches / dt

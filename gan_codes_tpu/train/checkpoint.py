@@ -19,6 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+from ..utils.jsonio import restore_nonfinite, sanitize_nonfinite
 from .state import TrainState
 
 HISTORY_KEYS = ("g_losses", "d_losses", "d_gp_losses", "is_scores",
@@ -36,6 +37,10 @@ CONFIG_RESUME_MUTABLE = frozenset({
     "train.eval_use_ema",
     "train.eval_max_batches",
     "data.data_dir",
+    # Pure-performance knobs — exact math (scheduling / rematerialization
+    # budgets), so toggling them across a resume changes no semantics.
+    "train.xla_scoped_vmem_kib",
+    "generator.remat_blocks",
 })
 
 
@@ -52,8 +57,9 @@ def _broadcast_json_from_primary(obj: Optional[Any]) -> Any:
     from jax.experimental import multihost_utils
 
     primary = jax.process_index() == 0
-    payload = (np.frombuffer(json.dumps(obj).encode(), dtype=np.uint8)
-               if primary else np.zeros((0,), np.uint8))
+    payload = (np.frombuffer(
+        json.dumps(sanitize_nonfinite(obj), allow_nan=False).encode(),
+        dtype=np.uint8) if primary else np.zeros((0,), np.uint8))
     n = int(multihost_utils.broadcast_one_to_all(np.int32(payload.size)))
     buf = np.zeros((n,), np.uint8)
     if primary:
@@ -135,10 +141,12 @@ class CheckpointManager:
 
     def _write_json(self, name: str, obj: Any) -> None:
         """Atomic JSON write: a crash mid-write must not leave a truncated
-        file that a later resume would choke on."""
+        file that a later resume would choke on. Non-finite floats (the FID
+        inf sentinel) are stringified — bare `Infinity` tokens are invalid
+        JSON and break strict consumers (utils/jsonio.py)."""
         tmp = self._path(name + ".tmp")
         with open(tmp, "w") as f:
-            json.dump(obj, f)
+            json.dump(sanitize_nonfinite(obj), f, allow_nan=False)
         os.replace(tmp, self._path(name))
 
     def has_checkpoint(self) -> bool:
@@ -195,7 +203,7 @@ class CheckpointManager:
                 blob = json.load(f)
         else:
             blob = None
-        blob = _broadcast_json_from_primary(blob)
+        blob = restore_nonfinite(_broadcast_json_from_primary(blob))
         epoch = int(blob.pop("epoch"))
         histories = {k: list(blob.get(k, [])) for k in HISTORY_KEYS}
         return state, epoch, histories

@@ -187,11 +187,18 @@ def make_train_step(cfg: GANConfig):
         )
         metrics = {
             "d_loss": d_loss,
-            "d_gp_loss": gp_loss,
-            # 1.0 on steps where the GP phase actually ran. With lazy
-            # regularization (gp_interval > 1) the skipped steps emit
-            # d_gp_loss = 0.0, which must be masked OUT of epoch means —
-            # averaging them in understates GP by ~interval x.
+            # Logged at the REFERENCE coefficient: with lazy regularization
+            # (gp_interval = k > 1) the applied penalty is scaled by k
+            # (gp_cfg above), so the raw per-active-step value is k x the
+            # reference's logged coef*mean(norm^p). Dividing by k here makes
+            # the metric cadence-independent — an interval-4 run's epoch
+            # mean (over active steps, see d_gp_active) is directly
+            # comparable to an interval-1 run and to the reference.
+            "d_gp_loss": gp_loss / k_interval,
+            # 1.0 on steps where the GP phase actually ran. Skipped steps
+            # emit d_gp_loss = 0.0 and are masked OUT of epoch means
+            # (train_epoch) so the mean reflects the penalty per
+            # application, not the cadence.
             "d_gp_active": gp_active,
             "g_loss": g_adv,
             "txtimg_loss": txtimg_loss,

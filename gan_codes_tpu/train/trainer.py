@@ -122,8 +122,13 @@ class Trainer:
         means = {k: float(np.mean(v)) for k, v in out.items()}
         if active is not None:
             # Lazy regularization (gp_interval > 1): average d_gp_loss over
-            # the steps where the GP phase actually ran — skipped steps emit
-            # 0.0 and would understate the epoch mean by ~interval x.
+            # the steps where the GP phase actually ran. The step already
+            # normalizes the logged value back to the reference coefficient
+            # (step.py divides the k-scaled penalty by k), so this masked
+            # mean equals the reference's per-step coef*mean(norm^p) at any
+            # cadence. (A plain mean over ALL steps of the k-scaled value
+            # would coincidentally match too — the k coefficient and 1/k
+            # frequency cancel — but only for the mean, not per-step logs.)
             mask = np.asarray(jax.device_get(active))
             n_active = float(mask.sum())
             means["d_gp_loss"] = (
@@ -168,12 +173,20 @@ class Trainer:
         # Reference failure sentinels (`src/evaluation/metrics.py:58-60,
         # 113-118`): IS baseline 1.0, FID inf. Used when inception weights
         # are absent / eval has no data — 0.0 would read as a perfect FID
-        # in plots and logs.
-        if not fakes:
+        # in plots and logs. Under multi-host DP with inception weights we
+        # must NOT early-return: the other processes are heading into the
+        # collective moment reduction, and a host that skips it deadlocks
+        # them — an empty shard contributes n=0 moments instead (the
+        # summed statistics still cover the union).
+        multihost_eval = (self.inception_params is not None
+                          and jax.process_count() > 1)
+        if not fakes and not multihost_eval:
             return 1.0, float("inf"), None, None, None
 
-        fake_all = np.concatenate(fakes)
-        real_all = np.concatenate(reals)
+        s = self.cfg.generator.image_size
+        empty = np.zeros((0, s, s, 3), np.float32)
+        fake_all = np.concatenate(fakes) if fakes else empty
+        real_all = np.concatenate(reals) if reals else empty
         is_score, fid_score = 1.0, float("inf")
         # The test loader is deterministic (shuffle=False, augment=False),
         # so the real-side FID stats are identical every epoch — compute
@@ -225,7 +238,7 @@ class Trainer:
                 self.inception_params, fake_all, real_all,
                 real_stats=real_stats)
             print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
-        return is_score, fid_score, *last
+        return is_score, fid_score, *(last or (None, None, None))
 
     # ------------------------------------------------------------------
 

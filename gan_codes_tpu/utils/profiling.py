@@ -69,10 +69,14 @@ class MetricsLogger:
         self._fh = open(path, "a")
 
     def log(self, step: int, **scalars) -> None:
+        from .jsonio import sanitize_nonfinite
+
         rec = {"step": int(step), "time": time.time()}
         for k, v in scalars.items():
-            rec[k] = float(v)
-        self._fh.write(json.dumps(rec) + "\n")
+            # Stringify non-finite floats (FID inf sentinel): bare
+            # `Infinity` tokens are invalid JSON (utils/jsonio.py).
+            rec[k] = sanitize_nonfinite(float(v))
+        self._fh.write(json.dumps(rec, allow_nan=False) + "\n")
         self._fh.flush()
 
     def truncate_from(self, epoch: float) -> None:

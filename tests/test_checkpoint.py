@@ -82,6 +82,14 @@ class TestCheckpointRoundTrip:
             cfg, train=dataclasses.replace(cfg.train, num_epochs=999))
         mgr.verify_config(extended)  # allowlisted: fine
 
+        # pure-perf knobs are resume-mutable: toggling the documented VMEM
+        # hint or G remat across a resume must not block the restore
+        perf = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, xla_scoped_vmem_kib=65536),
+            generator=dataclasses.replace(cfg.generator, remat_blocks=True))
+        mgr.verify_config(perf)
+
         # checkpoints predating config persistence verify as a no-op
         os.remove(str(tmp_path / "ckpt" / "config.json"))
         mgr.verify_config(grown)
@@ -128,3 +136,35 @@ class TestCheckpointRoundTrip:
         mgr.save(3, state, empty_histories())
         mgr.save(7, state, empty_histories())
         assert mgr.latest_generator_epoch() == 7
+
+    def test_histories_json_is_strict_rfc_json_with_inf_sentinels(
+            self, tmp_path):
+        """The FID failure sentinel float('inf') must not leak as a bare
+        `Infinity` token (invalid per RFC 8259 — jq/JSON.parse/pandas reject
+        the file). Non-finite floats are stringified on write and restored
+        to floats on read (utils/jsonio.py)."""
+        import json
+        import math
+
+        def strict_loads(text):
+            def reject(tok):
+                raise AssertionError(f"non-RFC JSON token: {tok}")
+            return json.loads(text, parse_constant=reject)
+
+        cfg = tiny_cfg()
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        hist = empty_histories()
+        hist["fid_scores"] = [float("inf"), 12.5]
+        hist["is_scores"] = [1.0, float("nan")]
+        mgr.save(1, state, hist, config=cfg)
+
+        for name in ("histories.json", "config.json"):
+            with open(str(tmp_path / "ckpt" / name)) as f:
+                strict_loads(f.read())  # parses under a strict reader
+
+        _, epoch, restored = mgr.restore(state)
+        assert epoch == 1
+        assert restored["fid_scores"][0] == float("inf")
+        assert restored["fid_scores"][1] == 12.5
+        assert math.isnan(restored["is_scores"][1])

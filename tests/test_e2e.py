@@ -212,8 +212,9 @@ class TestTrainerE2E:
 
     def test_gp_interval_epoch_mean_masks_skipped_steps(self, setup):
         """With lazy regularization (gp_interval=2) the epoch-mean GP loss
-        averages only the steps where the GP phase ran; skipped steps emit
-        0.0 and previously diluted the mean by ~interval x."""
+        averages only the steps where the GP phase ran (skipped steps emit
+        0.0); the step logs the penalty at the reference coefficient, so
+        the masked mean is cadence-independent."""
         import dataclasses
         from gan_codes_tpu.train.step import make_train_step
 

@@ -219,14 +219,17 @@ class TestTrainStep:
         s2, m2 = step2(s1, te, images, caps, lens)
         assert float(m1["d_gp_loss"]) != 0.0
         assert float(m2["d_gp_loss"]) == 0.0
-        # the scaled coefficient on the active step = 2x the interval-1 value
+        # The APPLIED penalty on the active step is scaled 2x, but the
+        # logged metric is normalized back to the reference coefficient
+        # (step.py divides by the interval) so histories stay comparable
+        # across cadences — the active step's log equals the interval-1
+        # value at identical params.
         cfg1 = mk(1)
         state1 = create_train_state(KEY, cfg1)
         step1 = jax.jit(make_train_step(cfg1))
         _, m1_ref = step1(state1, te, images, caps, lens)
         np.testing.assert_allclose(float(m1["d_gp_loss"]),
-                                   2.0 * float(m1_ref["d_gp_loss"]),
-                                   rtol=1e-5)
+                                   float(m1_ref["d_gp_loss"]), rtol=1e-5)
 
     def test_ema_params_track_but_differ_from_raw(self):
         """The EMA generator is genuinely maintained: after steps it differs

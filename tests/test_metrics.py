@@ -139,6 +139,31 @@ class TestMomentPath:
         summed = {k: m1[k] + m2[k] for k in m1}
         np.testing.assert_allclose(is_from_moments(summed), direct, rtol=1e-6)
 
+    def test_empty_shard_contributes_zero_moments(self, inception_params):
+        """A host whose eval-loader shard is empty must still join the
+        collective reduction (trainer.evaluate no longer early-returns
+        under multi-host — that deadlocked the other hosts). Its n=0
+        moments are additive identities: empty + full == full."""
+        from gan_codes_tpu.eval.metrics import (activation_moments,
+                                                activation_stats, is_moments,
+                                                stats_from_moments)
+        imgs = jax.random.uniform(jax.random.fold_in(KEY, 11),
+                                  (6, 32, 32, 3), minval=-1, maxval=1)
+        empty = jnp.zeros((0, 32, 32, 3), jnp.float32)
+
+        m_empty = activation_moments(inception_params, empty, batch_size=4)
+        assert m_empty["n"] == 0.0
+        assert not m_empty["sum"].any() and not m_empty["outer"].any()
+        m_full = activation_moments(inception_params, imgs, batch_size=3)
+        summed = {k: m_empty[k] + m_full[k] for k in m_full}
+        mu_d, sigma_d = activation_stats(inception_params, imgs, batch_size=3)
+        mu_m, sigma_m = stats_from_moments(summed)
+        np.testing.assert_allclose(mu_m, mu_d, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(sigma_m, sigma_d, rtol=1e-5, atol=1e-9)
+
+        i_empty = is_moments(inception_params, empty, batch_size=4)
+        assert i_empty["n"] == 0.0 and i_empty["sum_plogp"] == 0.0
+
     def test_multihost_entry_single_process(self, inception_params):
         """compute_is_fid_multihost degrades to the direct scores when
         process_count == 1 (allreduce is the identity)."""

@@ -31,6 +31,28 @@ class TestProfiling:
         assert lines[0]["step"] == 1 and lines[0]["g_loss"] == 0.5
         assert lines[1]["step"] == 2 and lines[1]["d_loss"] == 1.9
 
+    def test_metrics_logger_inf_sentinel_is_strict_json(self, tmp_path):
+        """fid=inf rows (inception absent) must stay RFC 8259-parseable —
+        bare `Infinity` tokens break jq/JSON.parse/pandas (utils/jsonio.py
+        stringifies non-finite floats)."""
+        path = str(tmp_path / "m.jsonl")
+        log = MetricsLogger(path)
+        log.log(1, fid_score=float("inf"), is_score=1.0,
+                g_loss=float("nan"))
+        log.close()
+
+        def reject(tok):
+            raise AssertionError(f"non-RFC JSON token: {tok}")
+
+        (rec,) = [json.loads(l, parse_constant=reject) for l in open(path)]
+        assert rec["fid_score"] == "Infinity"
+        assert rec["g_loss"] == "NaN"
+        assert rec["is_score"] == 1.0
+
+        from gan_codes_tpu.utils.jsonio import restore_nonfinite
+        back = restore_nonfinite(rec)
+        assert back["fid_score"] == float("inf")
+
     def test_metrics_logger_truncate_from(self, tmp_path):
         """Resume replays epochs after the last checkpoint; truncate_from
         drops their stale rows so the log stays one-row-per-epoch."""

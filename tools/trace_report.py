@@ -388,7 +388,7 @@ def main():
       "The narrow convs are at their lane-utilization ceiling "
       "(~half the 128-wide MXU at 64 lanes), not mis-scheduled: XLA already "
       "uses batch-in-sublanes emitters for them.")
-    w(f"2. Backward work is {next(v[0] for k, v in by_dir if k == 'backward') / dev_ms * 100:.0f}% "
+    w(f"2. Backward work is {next((v[0] for k, v in by_dir if k == 'backward'), 0.0) / dev_ms * 100:.0f}% "
       "of the step — the MA-GP double backward triples D cost at exact "
       "reference semantics (the semantic escape hatch is opt-in "
       "`--gp-interval`, reported separately in bench.py's JSON).")

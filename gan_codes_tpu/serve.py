@@ -9,6 +9,7 @@ prompts/caption-token batches into images.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -137,3 +138,87 @@ class Sampler:
         dt = _t.perf_counter() - t0
         assert np.isfinite(out).all()
         return bs * n_batches / dt
+
+
+def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
+         out_dir: str, prompts: Sequence[str], image_size: int = 256,
+         batch_size: int = 8, use_ema: bool = False, dtype: str = "float32",
+         seed: int = 0) -> List[str]:
+    """Batch prompt -> image serving: N prompts through ONE compiled
+    resident pipeline (the production counterpart of `generate.py`'s
+    one-prompt interactive path; reference serving story is
+    `test_generate.py:21-84`, one G forward per script run).
+
+    Writes one PNG per prompt plus a grid; returns the per-prompt paths.
+    `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
+    see Sampler.pipeline)."""
+    from .generate import load_vocab
+    from .models.generator import init_generator
+    from .models.text_encoder import load_text_encoder
+    from .train.checkpoint import CheckpointManager
+    from .utils import image_io
+
+    code2word, word2code = load_vocab(data_dir)
+    cfg = GANConfig.for_image_size(image_size, vocab_size=len(code2word))
+    te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
+
+    ckpt = CheckpointManager(gen_weights_dir)
+    epoch = ckpt.latest_generator_epoch()
+    if epoch is None:
+        raise FileNotFoundError(
+            f"No generator weights (gen_N) found in {gen_weights_dir}")
+    template = jax.eval_shape(
+        lambda k: {"g_params": init_generator(k, cfg.generator),
+                   "g_ema_params": init_generator(k, cfg.generator)},
+        jax.random.PRNGKey(0))
+    gen_tree = ckpt.restore_generator(epoch, template)
+    g_params = gen_tree["g_ema_params" if use_ema else "g_params"]
+
+    if dtype == "bfloat16":
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        g_params, te_params = cast(g_params), cast(te_params)
+
+    sampler = Sampler(cfg, g_params, te_params, word2code=word2code,
+                      batch_size=batch_size, seed=seed)
+    images = np.asarray(sampler.generate_prompts(list(prompts)),
+                        dtype=np.float32)
+    paths = [image_io.save_image(img, out_dir, f"serve_{i:04d}")
+             for i, img in enumerate(images)]
+    image_io.save_image_grid(images, os.path.join(out_dir, "serve_grid.png"))
+    print(f"Served {len(paths)} prompts (epoch-{epoch} weights"
+          f"{', EMA' if use_ema else ''}) -> {out_dir}")
+    return paths
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="batch prompt -> image serving")
+    ap.add_argument("--data", default="data",
+                    help="dataset dir (vocab via captions.pickle)")
+    ap.add_argument("--text-encoder", default="text_encoder.pth")
+    ap.add_argument("--weights", default="gen_weights")
+    ap.add_argument("--out", default="served_images")
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--ema", action="store_true",
+                    help="serve from the EMA generator")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prompts-file", default=None,
+                    help="file with one prompt per line")
+    ap.add_argument("prompts", nargs="*", help="prompts on the command line")
+    a = ap.parse_args()
+    prompts = list(a.prompts)
+    if a.prompts_file:
+        with open(a.prompts_file) as f:
+            prompts += [l.strip() for l in f if l.strip()]
+    if not prompts:
+        ap.error("no prompts given (positional or --prompts-file)")
+    main(a.data, a.text_encoder, a.weights, a.out, prompts,
+         image_size=a.image_size, batch_size=a.batch_size,
+         use_ema=a.ema, dtype=a.dtype, seed=a.seed)

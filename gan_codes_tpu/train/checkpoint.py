@@ -138,6 +138,10 @@ class CheckpointManager:
         gen_tree = {"g_params": jax.device_get(state.g_params),
                     "g_ema_params": jax.device_get(state.g_ema_params)}
         self._ckptr.save(self._path(f"gen_{epoch}"), gen_tree, force=True)
+        # Orbax saves are async; block so a direct save_generator() caller
+        # (not going through save(), which waits at its end) can rely on
+        # the files existing on return.
+        self._ckptr.wait_until_finished()
 
     def _write_json(self, name: str, obj: Any) -> None:
         """Atomic JSON write: a crash mid-write must not leave a truncated

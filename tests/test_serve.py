@@ -52,3 +52,53 @@ class TestSampler:
         s = make_sampler()
         ips = s.throughput(n_batches=3)
         assert ips > 0
+
+
+class TestServeMain:
+    def test_serve_main_end_to_end(self, tmp_path):
+        """The batch-serving CLI surface: vocab from the dataset dir, torch
+        text-encoder weights, generator restored from a gen_N checkpoint,
+        N prompts -> N PNGs + grid through one compiled pipeline (bf16
+        serving exercised; 3 prompts through a bs-2 pipeline exercises the
+        padding path)."""
+        import os
+
+        import torch
+
+        from gan_codes_tpu import serve
+        from gan_codes_tpu.data.synthetic import make_synthetic_cub
+        from gan_codes_tpu.generate import load_vocab
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+        from gan_codes_tpu.train.state import create_train_state
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=4, n_test=2, image_size=24)
+        code2word, _ = load_vocab(root)
+        cfg = GANConfig.for_image_size(16, vocab_size=len(code2word))
+
+        emb, half = cfg.text_encoder.embed_dim, cfg.text_encoder.hidden_dim // 2
+        g = torch.Generator().manual_seed(0)
+        sd = {"encoder.weight": torch.randn(len(code2word), emb, generator=g)}
+        for sfx in ("", "_reverse"):
+            sd[f"rnn.weight_ih_l0{sfx}"] = torch.randn(4 * half, emb,
+                                                       generator=g)
+            sd[f"rnn.weight_hh_l0{sfx}"] = torch.randn(4 * half, half,
+                                                       generator=g)
+            sd[f"rnn.bias_ih_l0{sfx}"] = torch.randn(4 * half, generator=g)
+            sd[f"rnn.bias_hh_l0{sfx}"] = torch.randn(4 * half, generator=g)
+        pth = str(tmp_path / "text_encoder.pth")
+        torch.save(sd, pth)
+
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        weights = str(tmp_path / "weights")
+        mgr = CheckpointManager(weights)
+        mgr.save_generator(3, state)
+
+        out = str(tmp_path / "served")
+        paths = serve.main(root, pth, weights, out,
+                           ["a red bird", "a blue bird", "small bird"],
+                           image_size=16, batch_size=2, dtype="bfloat16",
+                           use_ema=True)
+        assert len(paths) == 3
+        assert all(os.path.exists(p) for p in paths)
+        assert os.path.exists(os.path.join(out, "serve_grid.png"))

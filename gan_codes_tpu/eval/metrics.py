@@ -232,6 +232,10 @@ def is_moments(inception_params, images: jnp.ndarray,
 
 def is_from_moments(m: dict) -> float:
     try:
+        if m["n"] < 1:
+            # 0/0 below would be a numpy RuntimeWarning producing NaN, not an
+            # exception — force the reference failure sentinel instead.
+            raise ValueError("empty eval union (n=0 across all shards)")
         py = m["sum_p"] / m["n"] + 1e-10
         mean_kl = m["sum_plogp"] / m["n"] - np.sum(py * np.log(py))
         return float(np.exp(mean_kl))
@@ -279,6 +283,10 @@ def compute_is_fid_multihost(
     try:
         if reduced["fake_act"]["nan"] > 0 or reduced["real_act"]["nan"] > 0:
             raise FloatingPointError("activations contain NaN values")
+        if reduced["fake_act"]["n"] < 2 or reduced["real_act"]["n"] < 2:
+            # stats_from_moments divides by n-1; n in {0,1} would emit NaN/inf
+            # covariances via numpy warnings instead of tripping the sentinel.
+            raise ValueError("FID needs >=2 samples per side across shards")
         mu1, sigma1 = stats_from_moments(reduced["real_act"])
         mu2, sigma2 = stats_from_moments(reduced["fake_act"])
         fid = _frechet_distance(mu1, sigma1, mu2, sigma2, use_scipy=True)

@@ -119,17 +119,24 @@ class CheckpointManager:
         state = jax.device_get(state)
         latest = self._path("checkpoint")
         self._ckptr.save(latest, state, force=True)
-        if jax.process_index() == 0:
-            self._write_json("histories.json", {"epoch": epoch, **histories})
-            if config is not None:
-                self._write_json("config.json", dataclasses.asdict(config))
         if (epoch + 1) % self.numbered_every == 0:
             self._ckptr.save(self._path(f"checkpoint_epoch_{epoch}"), state,
                              force=True)
         self.save_generator(epoch, state)
-        # Block until async writes land: a save racing interpreter shutdown
-        # leaves *.orbax-checkpoint-tmp corpses.
+        # Block until the async Orbax writes finalize BEFORE publishing
+        # histories.json: the side file is the resume commit point (it names
+        # the epoch restore() returns), so it must never land ahead of the
+        # state it describes — a crash in that window would pair epoch-N
+        # histories with epoch-(N-1) params and resume would silently skip an
+        # epoch. With this ordering a crash mid-save leaves the previous
+        # epoch's histories.json, and resume replays the epoch (at-least-once
+        # semantics, never skip). Waiting here also prevents a save racing
+        # interpreter shutdown from leaving *.orbax-checkpoint-tmp corpses.
         self._ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            self._write_json("histories.json", {"epoch": epoch, **histories})
+            if config is not None:
+                self._write_json("config.json", dataclasses.asdict(config))
 
     def save_generator(self, epoch: int, state: TrainState) -> None:
         """Generator-only weights for inference (`model.py:321-327`),
@@ -178,13 +185,26 @@ class CheckpointManager:
 
         A mismatched config would otherwise either crash deep inside Orbax on
         a tree-structure mismatch or silently resume training with different
-        semantics. No-op when the checkpoint predates config persistence."""
-        path = self._path("config.json")
-        if not os.path.exists(path) or config is None:
+        semantics. No-op when the checkpoint predates config persistence.
+
+        Multi-host: the verdict is computed on process 0 (the host that wrote
+        config.json) and broadcast, so every host raises — or proceeds into
+        the collective restore — together. If each host decided from its own
+        filesystem view, a host with a stale view would enter the collective
+        restore while process 0 raised, deadlocking the rest."""
+        if config is None:
             return
-        with open(path) as f:
-            saved = json.load(f)
-        lines = config_mismatches(saved, dataclasses.asdict(config))
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            path = self._path("config.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    saved = json.load(f)
+                lines = config_mismatches(saved, dataclasses.asdict(config))
+            else:
+                lines = []
+        else:
+            lines = None
+        lines = _broadcast_json_from_primary(lines)
         if lines:
             raise ValueError(
                 "Config mismatch between the checkpoint in "

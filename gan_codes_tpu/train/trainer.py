@@ -81,7 +81,8 @@ class Trainer:
             lambda caps, lens: text_encoder_apply(
                 self.text_encoder_params, cfg.text_encoder, caps, lens))
         self._eval_base = jax.random.PRNGKey(seed + 1)
-        # cached (test_loader, (mu, sigma)) for the real FID side, see evaluate()
+        # cached (test_loader, multihost, payload) for the real FID side,
+        # see _cached_real_side()
         self._real_fid_stats = None
         self._eval_rng = self._eval_base
 
@@ -200,45 +201,60 @@ class Trainer:
             getattr(test_loader, "shuffle", True) is False
             and getattr(getattr(test_loader, "dataset", None),
                         "augment", True) is False)
-        if self.inception_params is not None and jax.process_count() > 1:
-            # Multi-host DP: every process computes moments of ITS eval
-            # shard; the moments are summed across processes
-            # (compute_is_fid_multihost) so the scores cover the FULL eval
-            # set — single-host semantics (`src/deep_fusion_gan/
-            # model.py:239-280`) at any host count, identical on every
-            # process (which keeps each host's histories coherent).
-            from ..eval.metrics import (activation_moments,
-                                        compute_is_fid_multihost)
-            real_m = None
-            if deterministic:
-                if (self._real_fid_stats is None
-                        or self._real_fid_stats[0] is not test_loader):
-                    self._real_fid_stats = (test_loader, activation_moments(
-                        self.inception_params, real_all))
-                real_m = self._real_fid_stats[1]
-            is_score, fid_score = compute_is_fid_multihost(
-                self.inception_params, fake_all, real_all,
-                real_moments=real_m)
+        if self.inception_params is not None:
+            real_side = self._cached_real_side(test_loader, real_all,
+                                               deterministic, multihost_eval)
+            if multihost_eval:
+                # Multi-host DP: every process computes moments of ITS eval
+                # shard; the moments are summed across processes
+                # (compute_is_fid_multihost) so the scores cover the FULL
+                # eval set — single-host semantics (`src/deep_fusion_gan/
+                # model.py:239-280`) at any host count, identical on every
+                # process (which keeps each host's histories coherent).
+                from ..eval.metrics import compute_is_fid_multihost
+                is_score, fid_score = compute_is_fid_multihost(
+                    self.inception_params, fake_all, real_all,
+                    real_moments=real_side)
+            else:
+                is_score, fid_score = compute_is_fid(
+                    self.inception_params, fake_all, real_all,
+                    real_stats=real_side)
             if jax.process_index() == 0:
                 print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
-        elif self.inception_params is not None:
-            real_stats = None
-            if deterministic:
-                if (self._real_fid_stats is None
-                        or self._real_fid_stats[0] is not test_loader):
-                    from ..eval.metrics import activation_stats
-                    try:
-                        self._real_fid_stats = (test_loader, activation_stats(
-                            self.inception_params, real_all))
-                    except FloatingPointError:
-                        self._real_fid_stats = None
-                if self._real_fid_stats is not None:
-                    real_stats = self._real_fid_stats[1]
-            is_score, fid_score = compute_is_fid(
-                self.inception_params, fake_all, real_all,
-                real_stats=real_stats)
-            print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
         return is_score, fid_score, *(last or (None, None, None))
+
+    def _cached_real_side(self, test_loader, real_all, deterministic: bool,
+                          multihost: bool):
+        """Cached real-side FID representation for the active eval mode:
+        summable activation MOMENTS under multi-host DP, (mu, sigma) stats
+        single-host. A deterministic test loader yields identical real images
+        every epoch, so the real side is computed once and reused (halves
+        per-epoch inception cost, same values). Keyed on (loader object,
+        mode): a different test_loader must not reuse another set's stats,
+        and a mode flip must not feed a moments dict where a (mu, sigma)
+        tuple is expected. Returns None when caching doesn't apply (the FID
+        path then computes the real side itself). The multi-host path never
+        raises here — NaN presence travels inside the moments as a reduced
+        flag (distributed hygiene, see eval/metrics.py)."""
+        if not deterministic:
+            return None
+        from ..eval import metrics
+        cached = self._real_fid_stats
+        if (cached is None or cached[0] is not test_loader
+                or cached[1] != multihost):
+            if multihost:
+                payload = metrics.activation_moments(
+                    self.inception_params, real_all)
+            else:
+                try:
+                    payload = metrics.activation_stats(
+                        self.inception_params, real_all)
+                except FloatingPointError:
+                    # Deterministic loader -> same NaN next epoch; cache the
+                    # miss and let compute_fid trip its own inf sentinel.
+                    payload = None
+            self._real_fid_stats = (test_loader, multihost, payload)
+        return self._real_fid_stats[2]
 
     # ------------------------------------------------------------------
 

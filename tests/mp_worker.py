@@ -104,6 +104,40 @@ def run_eval_metrics(spec) -> dict:
     return out
 
 
+def run_config_mismatch(spec) -> dict:
+    """verify_config must raise on EVERY process together (process-0 verdict
+    broadcast), even when only process 0's filesystem view has config.json —
+    a per-host decision would send the other host alone into the collective
+    restore that follows, deadlocking it."""
+    import dataclasses
+
+    import jax
+
+    from gan_codes_tpu.config import (DiscriminatorConfig, GANConfig,
+                                      GeneratorConfig, TextEncoderConfig)
+    from gan_codes_tpu.train.checkpoint import CheckpointManager
+
+    def cfg(nc):
+        return GANConfig(
+            generator=GeneratorConfig(n_channels=nc, image_size=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16),
+            text_encoder=TextEncoderConfig(vocab_size=16, embed_dim=4,
+                                           hidden_dim=8, max_len=4))
+
+    pid = jax.process_index()
+    d = spec["ckpt_dirs"][pid]  # per-process view; only pid 0 has config.json
+    mgr = CheckpointManager(d)
+    if pid == 0:
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg(4)), f)
+    raised = ""
+    try:
+        mgr.verify_config(cfg(8))
+    except ValueError as e:
+        raised = str(e)
+    return {"pid": pid, "raised_mismatch": "n_channels" in raised}
+
+
 def main():
     spec = json.loads(sys.argv[1])
     os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
@@ -133,6 +167,8 @@ def main():
         out = run_train(spec)
     elif spec["mode"] == "eval_metrics":
         out = run_eval_metrics(spec)
+    elif spec["mode"] == "config_mismatch":
+        out = run_config_mismatch(spec)
     else:
         raise ValueError(spec["mode"])
 

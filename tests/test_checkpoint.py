@@ -42,6 +42,30 @@ class TestCheckpointRoundTrip:
                         jax.tree.leaves(jax.device_get(restored))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_histories_published_after_state_finalizes(self, tmp_path):
+        """histories.json is the resume commit point: it names the epoch
+        restore() returns, so it must land only after every async Orbax save
+        has finalized. If it were written first, a crash in the window would
+        pair epoch-N histories with epoch-(N-1) params and resume would
+        silently skip an epoch of training."""
+        cfg = tiny_cfg()
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        events = []
+        orig_save = mgr._ckptr.save
+        orig_wait = mgr._ckptr.wait_until_finished
+        orig_json = mgr._write_json
+        mgr._ckptr.save = lambda *a, **k: (events.append("orbax_save"),
+                                           orig_save(*a, **k))[-1]
+        mgr._ckptr.wait_until_finished = lambda: (events.append("wait"),
+                                                  orig_wait())[-1]
+        mgr._write_json = lambda name, obj: (events.append(name),
+                                             orig_json(name, obj))[-1]
+        mgr.save(0, state, empty_histories(), config=cfg)
+        hist_at = events.index("histories.json")
+        assert "wait" in events[:hist_at], events
+        assert "orbax_save" not in events[hist_at:], events
+
     def test_numbered_checkpoint_cadence(self, tmp_path):
         cfg = tiny_cfg()
         state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)

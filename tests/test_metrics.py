@@ -178,6 +178,27 @@ class TestMomentPath:
         np.testing.assert_allclose(is_m, is_d, rtol=1e-6)
         np.testing.assert_allclose(fid_m, fid_d, rtol=1e-4, atol=1e-8)
 
+    def test_empty_union_uses_reference_sentinels(self, inception_params):
+        """All shards empty (n=0 union) must yield the reference failure
+        sentinels IS=1.0 / FID=inf — the raw moment formulas would instead
+        emit NaN via numpy 0/0 RuntimeWarnings (not exceptions, so the
+        sentinel except-clauses never fire without explicit guards)."""
+        from gan_codes_tpu.eval.metrics import (compute_is_fid_multihost,
+                                                is_from_moments)
+        assert is_from_moments({"sum_p": np.zeros(1000),
+                                "sum_plogp": np.float64(0.0),
+                                "n": np.float64(0.0)}) == 1.0
+        empty = jnp.zeros((0, 32, 32, 3), jnp.float32)
+        is_s, fid = compute_is_fid_multihost(inception_params, empty, empty,
+                                             batch_size=4)
+        assert is_s == 1.0 and fid == float("inf")
+        # n=1 per side: FID covariance is undefined (ddof=1 divides by
+        # n-1=0) -> inf sentinel, not a NaN/inf-covariance score
+        one = jax.random.uniform(KEY, (1, 32, 32, 3), minval=-1, maxval=1)
+        is_s, fid = compute_is_fid_multihost(inception_params, one, one,
+                                             batch_size=4)
+        assert np.isfinite(is_s) and fid == float("inf")
+
     def test_nan_activation_flag_gives_inf_fid(self, inception_params):
         """A NaN anywhere in either side's activations must reduce to the
         reference's FID failure sentinel (inf) without raising before the

@@ -169,3 +169,17 @@ class TestTwoProcessDP:
         np.testing.assert_allclose(results[0]["fid_mh"],
                                    results[0]["fid_direct"],
                                    rtol=1e-3, atol=1e-3)
+
+    def test_config_mismatch_raises_on_all_processes(self, mp_env):
+        """A config mismatch on resume must raise on BOTH processes (verdict
+        computed on process 0 and broadcast) even when only process 0's
+        filesystem view contains config.json — a per-host decision would
+        send the other host alone into the collective restore and deadlock
+        it. No jit compiles involved, so this pair-run is fast."""
+        tmp = mp_env["tmp"]
+        spec = {k: mp_env[k] for k in
+                ("data_root", "n_words", "cache_dir", "local_devices")}
+        dirs = [os.path.join(tmp, f"cfg_view_{i}") for i in range(2)]
+        spec.update(mode="config_mismatch", ckpt_dirs=dirs)
+        results = _run_pair(spec, tmp, "cfgmm", timeout=300)
+        assert [r["raised_mismatch"] for r in results] == [True, True]

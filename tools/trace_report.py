@@ -297,8 +297,11 @@ def main():
         if not r["conv_flops"]:
             return None
         c = max(r["couts"])
-        return "lanes<=64 (narrow: <128 MXU lanes)" if c <= 64 else \
-            "lanes>=128 (full MXU width)"
+        if c <= 64:
+            return "lanes<=64 (narrow: <128 MXU lanes)"
+        if c < 128:
+            return "lanes 65-127 (partial MXU width)"
+        return "lanes>=128 (full MXU width)"
     by_cout = agg(lambda r: cout_bucket(r) or "non-conv")
 
     total_conv_flops = sum(r["conv_flops"] * r["count"] for r in rows) // iters

@@ -83,8 +83,6 @@ def parse_hlo_fusions(hlo_text: str):
     comp_bodies = {}
     cur = None
     for line in hlo_text.splitlines():
-        m = re.match(r"\s*%?([A-Za-z0-9_.\-]+)\s*(?:\([^)]*\))?\s*->.*{\s*$",
-                     line)
         if ("{" in line and "->" in line and not line.strip().startswith("ROOT")
                 and "=" not in line.split("{")[0]):
             name = line.strip().split()[0].lstrip("%")

@@ -234,6 +234,26 @@ class GANConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
 
     @staticmethod
+    def from_dict(d: dict) -> "GANConfig":
+        """Inverse of `dataclasses.asdict` — rebuilds the config a checkpoint
+        was written with (`CheckpointManager` persists it as config.json).
+        Unknown keys are ignored and missing keys take the field default, so
+        configs written by older/newer versions of the framework still load."""
+        def build(cls, sub: Optional[dict]):
+            known = {f.name for f in dataclasses.fields(cls)}
+            return cls(**{k: v for k, v in (sub or {}).items() if k in known})
+
+        return GANConfig(
+            generator=build(GeneratorConfig, d.get("generator")),
+            discriminator=build(DiscriminatorConfig, d.get("discriminator")),
+            text_encoder=build(TextEncoderConfig, d.get("text_encoder")),
+            optim=build(OptimConfig, d.get("optim")),
+            loss=build(LossConfig, d.get("loss")),
+            train=build(TrainConfig, d.get("train")),
+            data=build(DataConfig, d.get("data")),
+        )
+
+    @staticmethod
     def for_image_size(image_size: int, n_channels: int = 32,
                        vocab_size: int = 5450,
                        loss_overrides: Optional[dict] = None,

@@ -61,18 +61,33 @@ def load_vocab(data_dir: str) -> Tuple[Dict[int, str], Dict[str, int]]:
 def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
          gen_weights_dir: str = "gen_weights",
          image_save_path: str = "testing_images",
-         prompt: Optional[str] = None, use_ema: bool = False) -> Optional[str]:
+         prompt: Optional[str] = None, use_ema: bool = False,
+         show: bool = False) -> Optional[str]:
     """Interactive prompt -> image (reference `test_generate.py:21-84`).
 
     `use_ema` samples from the EMA generator (the smoother weights used for
-    eval under BASELINE config 5) instead of the raw training weights."""
+    eval under BASELINE config 5) instead of the raw training weights.
+    `show` additionally opens the saved image in the system viewer
+    (reference `test_generate.py:76-81` calls `image.show()` always; here
+    it is opt-in because this framework targets headless TPU hosts)."""
+    import dataclasses
+
     from .models.text_encoder import load_text_encoder
 
     code2word, word2code = load_vocab(data_dir)
-    cfg = GANConfig.for_image_size(256, vocab_size=len(code2word))
+    ckpt = CheckpointManager(gen_weights_dir)
+    # Rebuild the exact model the checkpoint was trained as (its persisted
+    # config.json); fall back to the reference's 256px default for weight
+    # dirs that predate config persistence. Vocab always follows the data
+    # dir's captions.pickle (reference `test_generate.py:30-34` semantics).
+    cfg = ckpt.load_config()
+    if cfg is None:
+        cfg = GANConfig.for_image_size(256, vocab_size=len(code2word))
+    elif cfg.text_encoder.vocab_size != len(code2word):
+        cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
+            cfg.text_encoder, vocab_size=len(code2word)))
     te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
 
-    ckpt = CheckpointManager(gen_weights_dir)
     epoch = ckpt.latest_generator_epoch()
     if epoch is None:
         raise FileNotFoundError(
@@ -94,6 +109,10 @@ def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
     img = generate_from_prompt(prompt, g, te_params, cfg, word2code)
     path = image_io.save_image(img, image_save_path, "sample_from_prompt")
     print(f"Generated image saved to {path}")
+    if show:
+        from PIL import Image
+
+        Image.open(path).show()
     return path
 
 
@@ -108,5 +127,9 @@ if __name__ == "__main__":
     ap.add_argument("--prompt", default=None)
     ap.add_argument("--ema", action="store_true",
                     help="sample from the EMA generator")
+    ap.add_argument("--show", action="store_true",
+                    help="open the saved image in the system viewer "
+                         "(reference test_generate.py:76-81 behavior)")
     a = ap.parse_args()
-    main(a.data, a.text_encoder, a.weights, a.out, a.prompt, use_ema=a.ema)
+    main(a.data, a.text_encoder, a.weights, a.out, a.prompt, use_ema=a.ema,
+         show=a.show)

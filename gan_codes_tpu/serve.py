@@ -141,7 +141,8 @@ class Sampler:
 
 
 def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
-         out_dir: str, prompts: Sequence[str], image_size: int = 256,
+         out_dir: str, prompts: Sequence[str],
+         image_size: Optional[int] = None,
          batch_size: int = 8, use_ema: bool = False, dtype: str = "float32",
          seed: int = 0) -> List[str]:
     """Batch prompt -> image serving: N prompts through ONE compiled
@@ -151,7 +152,12 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
 
     Writes one PNG per prompt plus a grid; returns the per-prompt paths.
     `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
-    see Sampler.pipeline)."""
+    see Sampler.pipeline). `image_size=None` (the default) rebuilds the
+    model from the checkpoint's persisted config.json; pass a size only to
+    override it (or for weight dirs predating config persistence, which
+    fall back to the reference's 256)."""
+    import dataclasses
+
     from .generate import load_vocab
     from .models.generator import init_generator
     from .models.text_encoder import load_text_encoder
@@ -159,10 +165,16 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
     from .utils import image_io
 
     code2word, word2code = load_vocab(data_dir)
-    cfg = GANConfig.for_image_size(image_size, vocab_size=len(code2word))
+    ckpt = CheckpointManager(gen_weights_dir)
+    cfg = ckpt.load_config() if image_size is None else None
+    if cfg is None:
+        cfg = GANConfig.for_image_size(image_size or 256,
+                                       vocab_size=len(code2word))
+    elif cfg.text_encoder.vocab_size != len(code2word):
+        cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
+            cfg.text_encoder, vocab_size=len(code2word)))
     te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
 
-    ckpt = CheckpointManager(gen_weights_dir)
     epoch = ckpt.latest_generator_epoch()
     if epoch is None:
         raise FileNotFoundError(
@@ -202,7 +214,10 @@ if __name__ == "__main__":
     ap.add_argument("--text-encoder", default="text_encoder.pth")
     ap.add_argument("--weights", default="gen_weights")
     ap.add_argument("--out", default="served_images")
-    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="override the checkpoint's persisted config "
+                         "(default: read it from <weights>/config.json, "
+                         "256 for pre-config checkpoints)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])

@@ -179,6 +179,21 @@ class CheckpointManager:
         return bool(multihost_utils.broadcast_one_to_all(
             np.int32(local if jax.process_index() == 0 else 0)))
 
+    def load_config(self):
+        """The `GANConfig` this checkpoint was trained with, or None when the
+        checkpoint predates config persistence. Lets inference entry points
+        (`generate.py`, `serve.py`) rebuild the exact model the gen_N trees
+        belong to instead of assuming the 256px default — a 32px-trained
+        checkpoint would otherwise fail restore on a tree-structure mismatch
+        (7 vs 4 G blocks)."""
+        path = self._path("config.json")
+        if not os.path.exists(path):
+            return None
+        from ..config import GANConfig
+
+        with open(path) as f:
+            return GANConfig.from_dict(json.load(f))
+
     def verify_config(self, config: Any) -> None:
         """Fail loudly if `config` differs semantically from the config the
         checkpoint was written with (resume-mutable fields excluded).

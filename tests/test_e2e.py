@@ -303,6 +303,51 @@ class TestInferencePaths:
         assert img.shape == (IMG, IMG, 3)
         assert np.abs(img).max() <= 1.0
 
+    def test_generate_main_show_opens_viewer(self, tmp_path, monkeypatch):
+        """`main(show=True)` opens the saved image in the system viewer
+        (reference `test_generate.py:76-81` parity, opt-in for headless
+        hosts); show=False must not touch the viewer."""
+        import PIL.Image
+        import gan_codes_tpu.generate as gen_mod
+        import gan_codes_tpu.models.text_encoder as te_mod
+
+        class StubCkpt:
+            def __init__(self, d):
+                pass
+
+            def latest_generator_epoch(self):
+                return 3
+
+            def load_config(self):
+                return None  # pre-config-persistence dir -> 256px default
+
+            def restore_generator(self, epoch, template):
+                return {"g_params": {}, "g_ema_params": {}}
+
+        monkeypatch.setattr(gen_mod, "load_vocab",
+                            lambda d: ({0: "a"}, {"a": 0}))
+        monkeypatch.setattr(te_mod, "load_text_encoder",
+                            lambda path, cfg: {})
+        monkeypatch.setattr(gen_mod, "CheckpointManager", StubCkpt)
+        monkeypatch.setattr(
+            gen_mod, "generate_from_prompt",
+            lambda *a, **k: np.zeros((8, 8, 3), np.float32))
+        shown = []
+        orig_open = PIL.Image.open
+
+        def spy_open(path, *a, **k):
+            img = orig_open(path, *a, **k)
+            monkeypatch.setattr(type(img), "show",
+                                lambda self, *aa, **kk: shown.append(path))
+            return img
+
+        monkeypatch.setattr(PIL.Image, "open", spy_open)
+        out = str(tmp_path / "gen")
+        p1 = gen_mod.main("d", "enc.pth", "w", out, prompt="a", show=False)
+        assert shown == []
+        p2 = gen_mod.main("d", "enc.pth", "w", out, prompt="a", show=True)
+        assert shown == [p2] and os.path.exists(p1)
+
     def test_preprocess_caption_oov_and_pad(self, setup):
         cfg, train_ds, *_ = setup
         caps, lens = preprocess_caption("A Bird, with ZYXW plumage.",

@@ -102,3 +102,57 @@ class TestServeMain:
         assert len(paths) == 3
         assert all(os.path.exists(p) for p in paths)
         assert os.path.exists(os.path.join(out, "serve_grid.png"))
+
+    def test_inference_mains_read_checkpoint_config(self, tmp_path):
+        """`serve.main` / `generate.main` with no image size rebuild the
+        model from the checkpoint's persisted config.json — a 16px-trained
+        checkpoint must serve as-is, NOT fail restore against the 256px
+        default's 7-block generator tree (regression: caught driving the
+        CLI against a 32px training run)."""
+        import os
+
+        import torch
+
+        from gan_codes_tpu import generate, serve
+        from gan_codes_tpu.data.synthetic import make_synthetic_cub
+        from gan_codes_tpu.generate import load_vocab
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+        from gan_codes_tpu.train.state import create_train_state
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=4, n_test=2, image_size=24)
+        code2word, _ = load_vocab(root)
+        cfg = GANConfig.for_image_size(16, vocab_size=len(code2word))
+
+        emb, half = cfg.text_encoder.embed_dim, cfg.text_encoder.hidden_dim // 2
+        g = torch.Generator().manual_seed(0)
+        sd = {"encoder.weight": torch.randn(len(code2word), emb, generator=g)}
+        for sfx in ("", "_reverse"):
+            sd[f"rnn.weight_ih_l0{sfx}"] = torch.randn(4 * half, emb,
+                                                       generator=g)
+            sd[f"rnn.weight_hh_l0{sfx}"] = torch.randn(4 * half, half,
+                                                       generator=g)
+            sd[f"rnn.bias_ih_l0{sfx}"] = torch.randn(4 * half, generator=g)
+            sd[f"rnn.bias_hh_l0{sfx}"] = torch.randn(4 * half, generator=g)
+        pth = str(tmp_path / "text_encoder.pth")
+        torch.save(sd, pth)
+
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        weights = str(tmp_path / "weights")
+        mgr = CheckpointManager(weights)
+        # the real producer path: save() persists config.json + gen_N
+        mgr.save(0, state, {"g_losses": [0.1]}, config=cfg)
+        assert mgr.load_config() == cfg
+
+        out = str(tmp_path / "served")
+        paths = serve.main(root, pth, weights, out, ["a red bird"])
+        assert len(paths) == 1
+        img = np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                         .open(paths[0]))
+        assert img.shape[:2] == (16, 16)  # checkpoint's size, not 256
+
+        p = generate.main(data_dir=root, encoder_weights_path=pth,
+                          gen_weights_dir=weights,
+                          image_save_path=str(tmp_path / "gen"),
+                          prompt="a blue bird")
+        assert p is not None and os.path.exists(p)

@@ -141,3 +141,30 @@ class TestCompilerOptions:
         cfg = TrainConfig(xla_scoped_vmem_kib=65536)
         assert cfg.step_compiler_options() == {
             "xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+class TestConfigFromDict:
+    def test_round_trips_asdict(self):
+        import dataclasses
+
+        from gan_codes_tpu.config import GANConfig
+
+        cfg = GANConfig.for_image_size(64, vocab_size=123)
+        assert GANConfig.from_dict(dataclasses.asdict(cfg)) == cfg
+
+    def test_tolerates_unknown_and_missing_keys(self):
+        """Checkpoints written by older/newer framework versions must still
+        load: unknown keys are dropped, missing keys take field defaults."""
+        import dataclasses
+
+        from gan_codes_tpu.config import GANConfig
+
+        cfg = GANConfig.for_image_size(32)
+        d = dataclasses.asdict(cfg)
+        d["generator"]["some_future_knob"] = True   # newer writer
+        del d["loss"]["gp_norm_clip"]               # older writer
+        d.pop("optim")                              # much older writer
+        rebuilt = GANConfig.from_dict(d)
+        assert rebuilt.generator == cfg.generator
+        assert rebuilt.loss.gp_norm_clip == cfg.loss.gp_norm_clip  # default
+        assert rebuilt.optim == cfg.optim

@@ -104,6 +104,26 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
 
 
 def main():
+    # Up-front backend probe: through the relay a dead backend takes ~25 min
+    # of plugin-internal retries to raise, so probing ONCE and bailing turns
+    # a 2h+ all-candidates failure path into one probe. The second attempt
+    # (after 5 min) gives a transient relay outage a chance to clear.
+    for attempt in (1, 2):
+        try:
+            print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"[bench] backend probe {attempt} failed: {e}",
+                  file=sys.stderr)
+            if attempt == 1:
+                time.sleep(300)
+    else:
+        print(json.dumps({"metric": "images_per_sec_per_chip_256px_train_step",
+                          "value": 0.0, "unit": "images/sec/chip",
+                          "vs_baseline": 0.0,
+                          "error": "TPU backend unavailable"}))
+        return
+
     results = {}
     # Reference-semantics configs only; the headline is the best of these.
     # (dtype, batch, gp_dtype, xla_vmem_kib): the scoped-VMEM hint is only

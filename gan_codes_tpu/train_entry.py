@@ -31,8 +31,26 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           eval_use_ema: bool = False, gp_interval: int = 1,
           remat_g: bool = False, ckpt_every: int = 1,
           xla_vmem_kib: Optional[int] = None,
-          matmul_precision: Optional[str] = None):
+          matmul_precision: Optional[str] = None,
+          compile_cache_dir: Optional[str] = None):
     import jax
+
+    if compile_cache_dir:
+        if multihost:
+            # Root-caused (tests/mp_worker.py): reloading cached XLA
+            # executables with Gloo collective thunks desyncs the ranks'
+            # Gloo context rendezvous and deadlocks — a persistent cache
+            # must never be shared across process generations of a
+            # distributed run.
+            raise ValueError(
+                "--compile-cache is incompatible with --multihost: cached "
+                "executables with collective thunks desync the distributed "
+                "rendezvous on reload (see CLAUDE.md). Drop one of the two.")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(compile_cache_dir))
+        # Cache every nontrivial compile; the 256px train step costs
+        # minutes, eager-init compiles are filtered by the 1s floor.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if matmul_precision:
         # TPU matmuls/convs on fp32 inputs default to bf16 multiplies with
@@ -163,6 +181,12 @@ def main():
                         "convs default to bf16 multiplies + fp32 accumulate;"
                         " 'highest' = true fp32 (multi-pass, ~4.5x slower "
                         "at fp32 bs24 — matches the reference's CUDA fp32)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: re-runs "
+                        "skip the multi-minute train-step compile. "
+                        "Single-process only (incompatible with --multihost; "
+                        "see CLAUDE.md on the collective-thunk reload "
+                        "deadlock)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
@@ -177,7 +201,8 @@ def main():
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
           remat_g=a.remat_g, ckpt_every=a.ckpt_every,
-          xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision)
+          xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
+          compile_cache_dir=a.compile_cache)
 
 
 if __name__ == "__main__":

@@ -130,6 +130,13 @@ if __name__ == "__main__":
     ap.add_argument("--show", action="store_true",
                     help="open the saved image in the system viewer "
                          "(reference test_generate.py:76-81 behavior)")
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache: repeat "
+                         "invocations skip the G-forward compile")
     a = ap.parse_args()
+    if a.compile_cache:
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(a.compile_cache)
     main(a.data, a.text_encoder, a.weights, a.out, a.prompt, use_ema=a.ema,
          show=a.show)

@@ -224,10 +224,17 @@ if __name__ == "__main__":
     ap.add_argument("--ema", action="store_true",
                     help="serve from the EMA generator")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache: repeat "
+                         "invocations skip the pipeline compile")
     ap.add_argument("--prompts-file", default=None,
                     help="file with one prompt per line")
     ap.add_argument("prompts", nargs="*", help="prompts on the command line")
     a = ap.parse_args()
+    if a.compile_cache:
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(a.compile_cache)
     prompts = list(a.prompts)
     if a.prompts_file:
         with open(a.prompts_file) as f:

@@ -46,11 +46,9 @@ def train(data_path: str, encoder_weights_path: Optional[str],
                 "--compile-cache is incompatible with --multihost: cached "
                 "executables with collective thunks desync the distributed "
                 "rendezvous on reload (see CLAUDE.md). Drop one of the two.")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.abspath(compile_cache_dir))
-        # Cache every nontrivial compile; the 256px train step costs
-        # minutes, eager-init compiles are filtered by the 1s floor.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(compile_cache_dir)
 
     if matmul_precision:
         # TPU matmuls/convs on fp32 inputs default to bf16 multiplies with

@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache wiring (no reference counterpart —
+TPU-runtime quality of life; the reference's CUDA kernels have no
+multi-minute per-process compile to amortize).
+
+Shared by the train/serve/generate CLIs' `--compile-cache DIR` flags.
+"""
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(directory: str) -> None:
+    """Point JAX's persistent compilation cache at `directory`.
+
+    Later processes load cached executables instead of recompiling (the
+    256px train step costs minutes per compile; measured 35.8s -> 10.6s
+    for a compile-dominated epoch across fresh processes, losses
+    bit-identical).
+
+    NEVER enable this for multi-process (`--multihost`) runs: reloading
+    cached executables that contain collective thunks desyncs the Gloo
+    context rendezvous and deadlocks (root-caused in tests/mp_worker.py;
+    `train_entry.train` enforces this).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(directory))
+    # Cache every nontrivial compile; tiny eager-init compiles are filtered
+    # by the 1s floor.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

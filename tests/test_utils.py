@@ -168,3 +168,24 @@ class TestConfigFromDict:
         assert rebuilt.generator == cfg.generator
         assert rebuilt.loss.gp_norm_clip == cfg.loss.gp_norm_clip  # default
         assert rebuilt.optim == cfg.optim
+
+
+class TestCompileCache:
+    def test_enable_sets_jax_config(self, tmp_path, monkeypatch):
+        """The shared --compile-cache helper points JAX's persistent cache
+        at the directory (absolute) with a 1s compile-time floor."""
+        import jax
+
+        from gan_codes_tpu.utils.compile_cache import enable_compile_cache
+
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_floor = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            enable_compile_cache(str(tmp_path / "cache"))
+            assert jax.config.jax_compilation_cache_dir == str(
+                tmp_path / "cache")
+            assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              prev_floor)

@@ -1,0 +1,259 @@
+"""Import trained reference (PyTorch) G/D weights into this framework.
+
+The reference trains with torch `nn.Module`s and ships two artifact kinds
+(`src/deep_fusion_gan/model.py:315-327`): per-epoch generator-only
+`gen_N.pth` files (a raw `state_dict`, what `test_generate.py:48` loads)
+and full `checkpoint.pt` dicts holding `generator` / `discriminator` /
+optimizer states / histories (`model.py:106-134`). These converters map
+either artifact onto this framework's dict pytrees so a reference user can
+serve, evaluate, or fine-tune a torch-trained model on TPU.
+
+Layout rules (same conventions as the other converters,
+`models/text_encoder.py:138`, `models/inception.py:174`):
+  * torch Linear weight [out, in]   -> ours [in, out] (transpose)
+  * torch Conv2d weight OIHW        -> ours HWIO (transpose 2,3,1,0)
+  * torch `gamma` shape-[1] tensors -> our scalar ()
+Key structure follows the reference modules exactly
+(`src/generator/model.py:8-30`, `src/generator/residual_block.py:9-27`,
+`src/generator/fusion_block.py:6-19`, `src/discriminator/model.py:8-34`,
+`src/discriminator/residual_block.py:7-22`).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DiscriminatorConfig, GANConfig, GeneratorConfig
+
+Params = Dict
+
+
+def _t2j(t) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(t.detach().cpu().numpy()))
+
+
+def _lin(sd: Dict, prefix: str) -> Params:
+    """torch nn.Linear -> {"w": [in,out], "b": [out]}."""
+    p = {"w": _t2j(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t2j(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv(sd: Dict, prefix: str) -> Params:
+    """torch nn.Conv2d OIHW -> {"w": HWIO, "b": [out]}."""
+    p = {"w": jnp.transpose(_t2j(sd[f"{prefix}.weight"]), (2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t2j(sd[f"{prefix}.bias"])
+    return p
+
+
+def _gamma(sd: Dict, prefix: str) -> jnp.ndarray:
+    return _t2j(sd[f"{prefix}.gamma"]).reshape(())
+
+
+def _affine(sd: Dict, prefix: str) -> Params:
+    """Reference AffineBlock (`fusion_block.py:6-19`): two 2-layer MLPs."""
+    return {
+        "gamma_mlp": [_lin(sd, f"{prefix}.gamma_mlp.0"),
+                      _lin(sd, f"{prefix}.gamma_mlp.2")],
+        "beta_mlp": [_lin(sd, f"{prefix}.beta_mlp.0"),
+                     _lin(sd, f"{prefix}.beta_mlp.2")],
+    }
+
+
+def _res_block_g(sd: Dict, prefix: str) -> Params:
+    """Reference ResidualBlockG (`generator/residual_block.py:9-27`)."""
+    p = {
+        "affine_1": _affine(sd, f"{prefix}.fusion_block_1"),
+        "affine_2": _affine(sd, f"{prefix}.fusion_block_2"),
+        "conv_1": _conv(sd, f"{prefix}.conv_1"),
+        "affine_3": _affine(sd, f"{prefix}.fusion_block_3"),
+        "affine_4": _affine(sd, f"{prefix}.fusion_block_4"),
+        "conv_2": _conv(sd, f"{prefix}.conv_2"),
+        "gamma": _gamma(sd, prefix),
+    }
+    if f"{prefix}.scale_conv.weight" in sd:
+        p["shortcut_conv"] = _conv(sd, f"{prefix}.scale_conv")
+    return p
+
+
+def infer_generator_config(sd: Dict) -> GeneratorConfig:
+    """Derive the architecture a generator state_dict was trained as.
+
+    Shapes pin every knob: `linear_in.weight` is [8*nc*4*4, latent_dim]
+    (`generator/model.py:13`), the number of `res_blocks.N.` prefixes gives
+    the upsampling depth (image_size = 4 << n_up), and the affine MLP
+    shapes give sentence/hidden dims (`fusion_block.py:8-11`)."""
+    out_dim, latent_dim = sd["linear_in.weight"].shape
+    n_channels = out_dim // (8 * 4 * 4)
+    n_up = len({k.split(".")[1] for k in sd if k.startswith("res_blocks.")})
+    hidden, sentence_dim = sd[
+        "res_blocks.0.fusion_block_1.gamma_mlp.0.weight"].shape
+    return GeneratorConfig(n_channels=int(n_channels),
+                           latent_dim=int(latent_dim),
+                           sentence_dim=int(sentence_dim),
+                           affine_hidden=int(hidden),
+                           image_size=4 << n_up)
+
+
+def convert_torch_generator_state_dict(sd: Dict,
+                                       cfg: GeneratorConfig) -> Params:
+    """Reference Generator state_dict -> this framework's G pytree.
+
+    Mapping: `linear_in` -> linear_in; `res_blocks.{0..n-1}` +
+    `res_block_out` -> blocks[0..n] (our blocks ladder appends the final
+    non-upsampling block, `models/generator.py::init_generator`);
+    `conv_out.1` (the Conv2d inside the reference's LeakyReLU/Conv/Tanh
+    Sequential, `generator/model.py:26-30`) -> conv_out."""
+    n_up = len(cfg.block_channels) - 1
+    blocks = [_res_block_g(sd, f"res_blocks.{i}") for i in range(n_up)]
+    blocks.append(_res_block_g(sd, "res_block_out"))
+    params = {
+        "linear_in": _lin(sd, "linear_in"),
+        "blocks": blocks,
+        "conv_out": _conv(sd, "conv_out.1"),
+    }
+    from .generator import init_generator
+
+    _check_structure(params, lambda k: init_generator(k, cfg), "generator")
+    return params
+
+
+def _res_block_d(sd: Dict, prefix: str) -> Params:
+    """Reference ResidualBlockD (`discriminator/residual_block.py:7-22`)."""
+    p = {
+        "conv_1": _conv(sd, f"{prefix}.residual_conv.0"),
+        "conv_2": _conv(sd, f"{prefix}.residual_conv.2"),
+        "gamma": _gamma(sd, prefix),
+    }
+    if f"{prefix}.scale_conv.weight" in sd:
+        p["shortcut_conv"] = _conv(sd, f"{prefix}.scale_conv")
+    return p
+
+
+def convert_torch_discriminator_state_dict(sd: Dict,
+                                           cfg: DiscriminatorConfig
+                                           ) -> Params:
+    """Reference Discriminator state_dict -> this framework's D pytree.
+
+    `img_forward.0` (stem conv) -> conv_stem; `img_forward.{1..n}` ->
+    blocks; `img_sentence_forward.{0,2}` (joint 3x3 / logit 4x4 convs,
+    `discriminator/model.py:30-34`) -> conv_joint / conv_logit. The
+    channel order of conv_joint's input matches because both sides
+    concatenate (image_embed, sentence) in that order."""
+    params = {
+        "conv_stem": _conv(sd, "img_forward.0"),
+        "blocks": [_res_block_d(sd, f"img_forward.{i + 1}")
+                   for i in range(cfg.n_down_blocks)],
+        "conv_joint": _conv(sd, "img_sentence_forward.0"),
+        "conv_logit": _conv(sd, "img_sentence_forward.2"),
+    }
+    from .discriminator import init_discriminator
+
+    _check_structure(params, lambda k: init_discriminator(k, cfg),
+                     "discriminator")
+    return params
+
+
+def _check_structure(params: Params, init_fn, name: str) -> None:
+    """Converted tree must match the framework's init tree exactly (same
+    keys, same leaf shapes) — a size/config mismatch fails HERE with a
+    readable message instead of deep inside a jitted apply."""
+    template = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    got = jax.tree.map(lambda x: (jnp.shape(x)), params)
+    want = jax.tree.map(lambda x: tuple(x.shape), template)
+    if got != want:
+        raise ValueError(
+            f"Converted torch {name} does not match the configured "
+            f"architecture.\n  converted: {got}\n  expected:  {want}\n"
+            "Pass the config the torch model was trained with "
+            "(infer_generator_config can derive it from the state_dict).")
+
+
+def _maybe_unwrap(obj: Any, key: str) -> Dict:
+    """Accept either a raw state_dict or the reference's full
+    `checkpoint.pt` dict (`model.py:111-115`)."""
+    if key in obj and isinstance(obj[key], dict):
+        return obj[key]
+    return obj
+
+
+def load_torch_generator(path: str, cfg: GeneratorConfig = None) -> Tuple[
+        Params, GeneratorConfig]:
+    """Load a reference `gen_N.pth` (or `checkpoint.pt`) and convert.
+
+    With cfg=None the architecture is inferred from the weight shapes.
+    Returns (params, cfg)."""
+    import torch
+
+    sd = _maybe_unwrap(torch.load(path, map_location="cpu",
+                                  weights_only=True), "generator")
+    if cfg is None:
+        cfg = infer_generator_config(sd)
+    return convert_torch_generator_state_dict(sd, cfg), cfg
+
+
+def load_torch_discriminator(path: str, cfg: DiscriminatorConfig
+                             ) -> Params:
+    """Load the discriminator from a reference `checkpoint.pt` (or a raw
+    discriminator state_dict) and convert."""
+    import torch
+
+    sd = _maybe_unwrap(torch.load(path, map_location="cpu",
+                                  weights_only=True), "discriminator")
+    return convert_torch_discriminator_state_dict(sd, cfg)
+
+
+def import_generator_checkpoint(torch_path: str, out_dir: str,
+                                epoch: int = 0) -> str:
+    """One-shot migration: reference `gen_N.pth` -> this framework's
+    generator checkpoint directory (Orbax gen_N + config.json), ready for
+    `generate.py` / `serve.py` as-is.
+
+    The reference has no EMA generator, so the imported weights serve as
+    both the raw and the EMA copy."""
+    import dataclasses
+    import types
+
+    from ..train.checkpoint import CheckpointManager
+
+    g_params, gcfg = load_torch_generator(torch_path)
+    base = GANConfig.for_image_size(gcfg.image_size,
+                                    n_channels=gcfg.n_channels)
+    # Embed the FULL inferred generator config (latent/sentence/hidden dims
+    # may differ from the 256px defaults) and keep the companion configs'
+    # dims consistent with it.
+    cfg = dataclasses.replace(
+        base, generator=gcfg,
+        discriminator=dataclasses.replace(
+            base.discriminator, sentence_dim=gcfg.sentence_dim),
+        text_encoder=dataclasses.replace(
+            base.text_encoder, hidden_dim=gcfg.sentence_dim))
+    state = types.SimpleNamespace(g_params=g_params, g_ema_params=g_params)
+    mgr = CheckpointManager(out_dir)
+    mgr.save_generator(epoch, state)
+    mgr._write_json("config.json", dataclasses.asdict(cfg))
+    print(f"Imported {torch_path} -> {out_dir}/gen_{epoch} "
+          f"({gcfg.image_size}px, n_channels={gcfg.n_channels})")
+    return out_dir
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="import a reference torch gen_N.pth / checkpoint.pt "
+                    "into a framework checkpoint directory")
+    ap.add_argument("--gen", required=True,
+                    help="path to the torch generator weights")
+    ap.add_argument("--out", required=True,
+                    help="output weights directory (becomes --weights for "
+                         "generate.py / serve.py)")
+    ap.add_argument("--epoch", type=int, default=0,
+                    help="epoch number to label the imported gen_N with")
+    a = ap.parse_args()
+    import_generator_checkpoint(a.gen, a.out, epoch=a.epoch)

@@ -1,0 +1,249 @@
+"""Reference (torch) -> framework weight-import tests.
+
+The oracle leg runs the reference's forward semantics DIRECTLY on the raw
+reference-format state_dict (torch NCHW, reference key names — mirroring
+`src/generator/model.py:32-46`, `src/generator/residual_block.py:34-60`,
+`src/discriminator/model.py:36-59`), with no layout conversion at all.
+If the converter's transposes or key mapping were wrong, this leg and the
+converted-JAX leg would diverge.
+"""
+import jax
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gan_codes_tpu.config import (DiscriminatorConfig, GANConfig,
+                                  GeneratorConfig)
+from gan_codes_tpu.models.discriminator import discriminator_apply
+from gan_codes_tpu.models.generator import generator_apply
+from gan_codes_tpu.models.torch_import import (
+    convert_torch_discriminator_state_dict,
+    convert_torch_generator_state_dict, import_generator_checkpoint,
+    infer_generator_config, load_torch_generator)
+
+GCFG = GeneratorConfig(n_channels=4, latent_dim=12, sentence_dim=16,
+                       affine_hidden=8, image_size=16)
+DCFG = DiscriminatorConfig(n_channels=4, sentence_dim=16, image_size=16)
+
+
+# -- reference-format state_dict builders (shapes from the reference
+# module definitions: generator/model.py:8-30, discriminator/model.py:8-34)
+
+def _make_ref_generator_sd(cfg: GeneratorConfig, seed: int = 0):
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.2
+
+    sd = {"linear_in.weight": r(cfg.seed_channels * cfg.base_size ** 2,
+                                cfg.latent_dim),
+          "linear_in.bias": r(cfg.seed_channels * cfg.base_size ** 2)}
+
+    def affine(prefix, out_ch):
+        for mlp in ("gamma_mlp", "beta_mlp"):
+            sd[f"{prefix}.{mlp}.0.weight"] = r(cfg.affine_hidden,
+                                               cfg.sentence_dim)
+            sd[f"{prefix}.{mlp}.0.bias"] = r(cfg.affine_hidden)
+            sd[f"{prefix}.{mlp}.2.weight"] = r(out_ch, cfg.affine_hidden)
+            sd[f"{prefix}.{mlp}.2.bias"] = r(out_ch)
+
+    names = [f"res_blocks.{i}"
+             for i in range(len(cfg.block_channels) - 1)] + ["res_block_out"]
+    for name, (cin, cout) in zip(names, cfg.block_channels):
+        affine(f"{name}.fusion_block_1", cin)
+        affine(f"{name}.fusion_block_2", cin)
+        sd[f"{name}.conv_1.weight"] = r(cout, cin, 3, 3)
+        sd[f"{name}.conv_1.bias"] = r(cout)
+        affine(f"{name}.fusion_block_3", cout)
+        affine(f"{name}.fusion_block_4", cout)
+        sd[f"{name}.conv_2.weight"] = r(cout, cout, 3, 3)
+        sd[f"{name}.conv_2.bias"] = r(cout)
+        if cin != cout:
+            sd[f"{name}.scale_conv.weight"] = r(cout, cin, 1, 1)
+            sd[f"{name}.scale_conv.bias"] = r(cout)
+        # nonzero: a zero gamma would hide any residual-path mapping error
+        sd[f"{name}.gamma"] = r(1)
+    sd["conv_out.1.weight"] = r(3, cfg.n_channels, 3, 3)
+    sd["conv_out.1.bias"] = r(3)
+    return sd
+
+
+def _make_ref_discriminator_sd(cfg: DiscriminatorConfig, seed: int = 1):
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.2
+
+    sd = {"img_forward.0.weight": r(cfg.n_channels, 3, 3, 3),
+          "img_forward.0.bias": r(cfg.n_channels)}
+    for i, (cin, cout) in enumerate(cfg.block_channels):
+        p = f"img_forward.{i + 1}"
+        sd[f"{p}.residual_conv.0.weight"] = r(cout, cin, 4, 4)
+        sd[f"{p}.residual_conv.2.weight"] = r(cout, cout, 3, 3)
+        if cin != cout:
+            sd[f"{p}.scale_conv.weight"] = r(cout, cin, 1, 1)
+            sd[f"{p}.scale_conv.bias"] = r(cout)
+        sd[f"{p}.gamma"] = r(1)
+    sd["img_sentence_forward.0.weight"] = r(
+        cfg.n_channels * 2, cfg.embed_channels + cfg.sentence_dim, 3, 3)
+    sd["img_sentence_forward.2.weight"] = r(
+        1, cfg.n_channels * 2, cfg.final_size, cfg.final_size)
+    return sd
+
+
+# -- reference forwards on the RAW state_dict (torch NCHW, no conversion)
+
+def _sd_affine(sd, p, x, sent):
+    def mlp(pp):
+        h = F.relu(F.linear(sent, sd[f"{pp}.0.weight"], sd[f"{pp}.0.bias"]))
+        return F.linear(h, sd[f"{pp}.2.weight"], sd[f"{pp}.2.bias"])
+
+    return (mlp(f"{p}.gamma_mlp")[:, :, None, None] * x
+            + mlp(f"{p}.beta_mlp")[:, :, None, None])
+
+
+def _sd_res_block_g(sd, p, x, sent):
+    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_1", x, sent), 0.2)
+    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_2", h, sent), 0.2)
+    h = F.conv2d(h, sd[f"{p}.conv_1.weight"], sd[f"{p}.conv_1.bias"],
+                 padding=1)
+    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_3", h, sent), 0.2)
+    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_4", h, sent), 0.2)
+    h = F.conv2d(h, sd[f"{p}.conv_2.weight"], sd[f"{p}.conv_2.bias"],
+                 padding=1)
+    short = x
+    if f"{p}.scale_conv.weight" in sd:
+        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
+                         sd[f"{p}.scale_conv.bias"])
+    return short + sd[f"{p}.gamma"] * h
+
+
+def _sd_generator(sd, cfg, noise, sent):
+    x = F.linear(noise, sd["linear_in.weight"], sd["linear_in.bias"])
+    x = x.view(noise.shape[0], cfg.seed_channels, cfg.base_size,
+               cfg.base_size)
+    n_up = len(cfg.block_channels) - 1
+    for i in range(n_up):
+        x = F.interpolate(_sd_res_block_g(sd, f"res_blocks.{i}", x, sent),
+                          scale_factor=2)
+    x = _sd_res_block_g(sd, "res_block_out", x, sent)
+    x = F.conv2d(F.leaky_relu(x, 0.2), sd["conv_out.1.weight"],
+                 sd["conv_out.1.bias"], padding=1)
+    return torch.tanh(x)
+
+
+def _sd_res_block_d(sd, p, x):
+    h = F.leaky_relu(F.conv2d(x, sd[f"{p}.residual_conv.0.weight"], None,
+                              stride=2, padding=1), 0.2)
+    h = F.leaky_relu(F.conv2d(h, sd[f"{p}.residual_conv.2.weight"], None,
+                              padding=1), 0.2)
+    short = x
+    if f"{p}.scale_conv.weight" in sd:
+        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
+                         sd[f"{p}.scale_conv.bias"])
+    return F.avg_pool2d(short, 2) + sd[f"{p}.gamma"] * h
+
+
+def _sd_discriminator(sd, cfg, img, sent):
+    x = F.conv2d(img, sd["img_forward.0.weight"], sd["img_forward.0.bias"],
+                 padding=1)
+    for i in range(len(cfg.block_channels)):
+        x = _sd_res_block_d(sd, f"img_forward.{i + 1}", x)
+    s = sent.view(-1, sent.shape[1], 1, 1).repeat(1, 1, x.shape[2],
+                                                  x.shape[3])
+    j = torch.cat((x, s), 1)
+    j = F.leaky_relu(F.conv2d(j, sd["img_sentence_forward.0.weight"], None,
+                              padding=1), 0.2)
+    return F.conv2d(j, sd["img_sentence_forward.2.weight"], None)
+
+
+class TestGeneratorImport:
+    def test_converted_forward_matches_raw_torch(self):
+        sd = _make_ref_generator_sd(GCFG)
+        params = convert_torch_generator_state_dict(sd, GCFG)
+
+        noise = torch.randn(3, GCFG.latent_dim,
+                            generator=torch.Generator().manual_seed(7))
+        sent = torch.randn(3, GCFG.sentence_dim,
+                           generator=torch.Generator().manual_seed(8))
+        want = _sd_generator(sd, GCFG, noise, sent)  # NCHW
+        got = generator_apply(params, GCFG, np.asarray(noise),
+                              np.asarray(sent))  # NHWC
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(),
+            atol=2e-5, rtol=1e-4)
+
+    def test_infer_config_from_shapes(self):
+        sd = _make_ref_generator_sd(GCFG)
+        inferred = infer_generator_config(sd)
+        assert inferred.n_channels == GCFG.n_channels
+        assert inferred.latent_dim == GCFG.latent_dim
+        assert inferred.sentence_dim == GCFG.sentence_dim
+        assert inferred.affine_hidden == GCFG.affine_hidden
+        assert inferred.image_size == GCFG.image_size
+
+    def test_wrong_config_raises_readably(self):
+        sd = _make_ref_generator_sd(GCFG)
+        import dataclasses
+
+        bad = dataclasses.replace(GCFG, n_channels=8)
+        with pytest.raises((ValueError, KeyError)):
+            convert_torch_generator_state_dict(sd, bad)
+
+    def test_load_accepts_full_checkpoint_dict(self, tmp_path):
+        """The reference's checkpoint.pt wraps the state_dict under
+        'generator' (`model.py:111-115`); a raw gen_N.pth is bare."""
+        sd = _make_ref_generator_sd(GCFG)
+        raw, full = str(tmp_path / "gen_5.pth"), str(tmp_path / "ckpt.pt")
+        torch.save(sd, raw)
+        torch.save({"generator": sd, "epoch": 5}, full)
+        p1, c1 = load_torch_generator(raw)
+        p2, c2 = load_torch_generator(full)
+        assert c1 == c2 == GCFG
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_import_cli_roundtrip_through_serve(self, tmp_path):
+        """import_generator_checkpoint produces a weights dir that the
+        serving stack consumes as-is (config.json + Orbax gen_N)."""
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+
+        sd = _make_ref_generator_sd(GCFG)
+        pth = str(tmp_path / "gen_3.pth")
+        torch.save(sd, pth)
+        out = str(tmp_path / "weights")
+        import_generator_checkpoint(pth, out, epoch=3)
+
+        mgr = CheckpointManager(out)
+        assert mgr.latest_generator_epoch() == 3
+        cfg = mgr.load_config()
+        assert cfg.generator == GCFG
+        from gan_codes_tpu.models.generator import init_generator
+        template = jax.eval_shape(
+            lambda k: {"g_params": init_generator(k, cfg.generator),
+                       "g_ema_params": init_generator(k, cfg.generator)},
+            jax.random.PRNGKey(0))
+        tree = mgr.restore_generator(3, template)
+        noise = np.zeros((1, GCFG.latent_dim), np.float32)
+        sent = np.zeros((1, GCFG.sentence_dim), np.float32)
+        img = generator_apply(tree["g_params"], cfg.generator, noise, sent)
+        assert img.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(img)).all()
+
+
+class TestDiscriminatorImport:
+    def test_converted_forward_matches_raw_torch(self):
+        sd = _make_ref_discriminator_sd(DCFG)
+        params = convert_torch_discriminator_state_dict(sd, DCFG)
+
+        img = torch.randn(2, 3, DCFG.image_size, DCFG.image_size,
+                          generator=torch.Generator().manual_seed(9))
+        sent = torch.randn(2, DCFG.sentence_dim,
+                           generator=torch.Generator().manual_seed(10))
+        want = _sd_discriminator(sd, DCFG, img, sent)  # [B,1,h,w] NCHW
+        got = discriminator_apply(params, np.asarray(
+            img.permute(0, 2, 3, 1).contiguous()), np.asarray(sent))
+        np.testing.assert_allclose(
+            np.asarray(got), want.permute(0, 2, 3, 1).numpy(),
+            atol=2e-5, rtol=1e-4)

@@ -242,18 +242,132 @@ def import_generator_checkpoint(torch_path: str, out_dir: str,
     return out_dir
 
 
+# -- export (the inverse direction): framework pytrees -> reference-format
+# torch state_dicts, so TPU-trained weights run under the reference's own
+# torch tooling (e.g. its evaluation scripts — relevant to the FID-parity
+# validation procedure, tools/validate_pretrained.py).
+
+def _j2t(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x).copy())
+
+
+def _exp_lin(sd: Dict, prefix: str, p: Params) -> None:
+    sd[f"{prefix}.weight"] = _j2t(p["w"]).t().contiguous()
+    if "b" in p:
+        sd[f"{prefix}.bias"] = _j2t(p["b"])
+
+
+def _exp_conv(sd: Dict, prefix: str, p: Params) -> None:
+    sd[f"{prefix}.weight"] = _j2t(p["w"]).permute(3, 2, 0, 1).contiguous()
+    if "b" in p:
+        sd[f"{prefix}.bias"] = _j2t(p["b"])
+
+
+def _exp_affine(sd: Dict, prefix: str, p: Params) -> None:
+    for mlp in ("gamma_mlp", "beta_mlp"):
+        _exp_lin(sd, f"{prefix}.{mlp}.0", p[mlp][0])
+        _exp_lin(sd, f"{prefix}.{mlp}.2", p[mlp][1])
+
+
+def export_generator_state_dict(params: Params) -> Dict:
+    """This framework's G pytree -> a reference-loadable state_dict
+    (`Generator.load_state_dict`-compatible, `src/generator/model.py`)."""
+    sd: Dict = {}
+    _exp_lin(sd, "linear_in", params["linear_in"])
+    names = [f"res_blocks.{i}"
+             for i in range(len(params["blocks"]) - 1)] + ["res_block_out"]
+    for name, bp in zip(names, params["blocks"]):
+        _exp_affine(sd, f"{name}.fusion_block_1", bp["affine_1"])
+        _exp_affine(sd, f"{name}.fusion_block_2", bp["affine_2"])
+        _exp_conv(sd, f"{name}.conv_1", bp["conv_1"])
+        _exp_affine(sd, f"{name}.fusion_block_3", bp["affine_3"])
+        _exp_affine(sd, f"{name}.fusion_block_4", bp["affine_4"])
+        _exp_conv(sd, f"{name}.conv_2", bp["conv_2"])
+        if "shortcut_conv" in bp:
+            _exp_conv(sd, f"{name}.scale_conv", bp["shortcut_conv"])
+        sd[f"{name}.gamma"] = _j2t(bp["gamma"]).reshape(1)
+    _exp_conv(sd, "conv_out.1", params["conv_out"])
+    return sd
+
+
+def export_discriminator_state_dict(params: Params) -> Dict:
+    """This framework's D pytree -> a reference-loadable state_dict
+    (`Discriminator.load_state_dict`-compatible,
+    `src/discriminator/model.py`)."""
+    sd: Dict = {}
+    _exp_conv(sd, "img_forward.0", params["conv_stem"])
+    for i, bp in enumerate(params["blocks"]):
+        p = f"img_forward.{i + 1}"
+        _exp_conv(sd, f"{p}.residual_conv.0", bp["conv_1"])
+        _exp_conv(sd, f"{p}.residual_conv.2", bp["conv_2"])
+        if "shortcut_conv" in bp:
+            _exp_conv(sd, f"{p}.scale_conv", bp["shortcut_conv"])
+        sd[f"{p}.gamma"] = _j2t(bp["gamma"]).reshape(1)
+    _exp_conv(sd, "img_sentence_forward.0", params["conv_joint"])
+    _exp_conv(sd, "img_sentence_forward.2", params["conv_logit"])
+    return sd
+
+
+def export_generator_checkpoint(weights_dir: str, torch_path: str,
+                                epoch: int = None, use_ema: bool = False
+                                ) -> str:
+    """One-shot export: a framework weights dir -> a reference `gen_N.pth`
+    the torch `test_generate.py` stack loads directly."""
+    import torch
+
+    from ..train.checkpoint import CheckpointManager
+    from .generator import init_generator
+
+    mgr = CheckpointManager(weights_dir)
+    if epoch is None:
+        epoch = mgr.latest_generator_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no gen_N under {weights_dir}")
+    cfg = mgr.load_config()
+    if cfg is None:
+        raise FileNotFoundError(
+            f"{weights_dir}/config.json missing — cannot rebuild the "
+            "architecture; re-save with a current trainer or import first.")
+    template = jax.eval_shape(
+        lambda k: {"g_params": init_generator(k, cfg.generator),
+                   "g_ema_params": init_generator(k, cfg.generator)},
+        jax.random.PRNGKey(0))
+    tree = mgr.restore_generator(epoch, template)
+    params = tree["g_ema_params" if use_ema else "g_params"]
+    torch.save(export_generator_state_dict(params), torch_path)
+    print(f"Exported {weights_dir}/gen_{epoch}"
+          f"{' (EMA)' if use_ema else ''} -> {torch_path}")
+    return torch_path
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser(
-        description="import a reference torch gen_N.pth / checkpoint.pt "
-                    "into a framework checkpoint directory")
-    ap.add_argument("--gen", required=True,
-                    help="path to the torch generator weights")
+        description="convert reference torch weights to a framework "
+                    "checkpoint directory (import) or back (export)")
+    direction = ap.add_mutually_exclusive_group(required=True)
+    direction.add_argument("--gen", help="IMPORT: path to the torch "
+                                         "generator weights "
+                                         "(gen_N.pth / checkpoint.pt)")
+    direction.add_argument("--export", metavar="WEIGHTS_DIR",
+                           help="EXPORT: framework weights dir to convert "
+                                "back to a torch gen_N.pth")
     ap.add_argument("--out", required=True,
-                    help="output weights directory (becomes --weights for "
-                         "generate.py / serve.py)")
-    ap.add_argument("--epoch", type=int, default=0,
-                    help="epoch number to label the imported gen_N with")
+                    help="import: output weights directory (becomes "
+                         "--weights for generate.py / serve.py); "
+                         "export: output .pth path")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="epoch to import as / export from "
+                         "(default: 0 for import, latest for export)")
+    ap.add_argument("--ema", action="store_true",
+                    help="export the EMA generator instead of the raw one")
     a = ap.parse_args()
-    import_generator_checkpoint(a.gen, a.out, epoch=a.epoch)
+    if a.gen:
+        import_generator_checkpoint(a.gen, a.out,
+                                    epoch=0 if a.epoch is None else a.epoch)
+    else:
+        export_generator_checkpoint(a.export, a.out, epoch=a.epoch,
+                                    use_ema=a.ema)

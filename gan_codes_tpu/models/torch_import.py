@@ -222,17 +222,10 @@ def import_generator_checkpoint(torch_path: str, out_dir: str,
     from ..train.checkpoint import CheckpointManager
 
     g_params, gcfg = load_torch_generator(torch_path)
-    base = GANConfig.for_image_size(gcfg.image_size,
-                                    n_channels=gcfg.n_channels)
     # Embed the FULL inferred generator config (latent/sentence/hidden dims
     # may differ from the 256px defaults) and keep the companion configs'
     # dims consistent with it.
-    cfg = dataclasses.replace(
-        base, generator=gcfg,
-        discriminator=dataclasses.replace(
-            base.discriminator, sentence_dim=gcfg.sentence_dim),
-        text_encoder=dataclasses.replace(
-            base.text_encoder, hidden_dim=gcfg.sentence_dim))
+    cfg = _cfg_from_generator(gcfg)
     state = types.SimpleNamespace(g_params=g_params, g_ema_params=g_params)
     mgr = CheckpointManager(out_dir)
     mgr.save_generator(epoch, state)
@@ -240,6 +233,138 @@ def import_generator_checkpoint(torch_path: str, out_dir: str,
     print(f"Imported {torch_path} -> {out_dir}/gen_{epoch} "
           f"({gcfg.image_size}px, n_channels={gcfg.n_channels})")
     return out_dir
+
+
+# -- full training-state import: the reference's checkpoint.pt carries G/D
+# weights, both Adam optimizers, the epoch, and the loss/metric histories
+# (`model.py:106-134`); converting ALL of it lets a torch training run
+# resume on TPU mid-stream instead of restarting.
+
+def _cfg_from_generator(gcfg: GeneratorConfig) -> GANConfig:
+    """A full GANConfig whose companion dims follow the inferred G."""
+    import dataclasses
+
+    base = GANConfig.for_image_size(gcfg.image_size,
+                                    n_channels=gcfg.n_channels)
+    return dataclasses.replace(
+        base, generator=gcfg,
+        discriminator=dataclasses.replace(
+            base.discriminator, sentence_dim=gcfg.sentence_dim),
+        text_encoder=dataclasses.replace(
+            base.text_encoder, hidden_dim=gcfg.sentence_dim))
+
+
+def _adam_moments(opt_sd: Dict, model_sd: Dict, convert_fn):
+    """torch Adam state -> (mu_tree, nu_tree, step_count) in our layout.
+
+    torch keys optimizer state by parameter INDEX in construction order;
+    the reference passes `model.parameters()` (`model.py:42-43`), whose
+    order equals the model state_dict's key order (both traversals yield a
+    module's direct parameters, then its children, in registration order —
+    asserted in tests). The per-index `exp_avg`/`exp_avg_sq` tensors have
+    their parameter's exact shape, so re-keying them by parameter name and
+    running the WEIGHT converter on the result yields the moment trees with
+    every layout transpose applied consistently."""
+    keys = list(model_sd)
+    ids = [i for g in opt_sd["param_groups"] for i in g["params"]]
+    if len(ids) != len(keys):
+        raise ValueError(
+            f"optimizer tracks {len(ids)} params but the model state_dict "
+            f"has {len(keys)} — not a matching checkpoint")
+    state = opt_sd.get("state", {})
+    if not state:
+        return None  # optimizer never stepped; keep a fresh init
+    mu = convert_fn({k: state[i]["exp_avg"] for k, i in zip(keys, ids)})
+    nu = convert_fn({k: state[i]["exp_avg_sq"] for k, i in zip(keys, ids)})
+    count = int(state[ids[0]]["step"])
+    return mu, nu, count
+
+
+def _inject_adam(opt_state, moments):
+    """Replace the ScaleByAdamState inside an optax chain state."""
+    import optax
+
+    if moments is None:
+        return opt_state
+    mu, nu, count = moments
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(count=jnp.asarray(count, jnp.int32),
+                              mu=mu, nu=nu)
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
+
+
+def import_training_checkpoint(ckpt_path: str, out_dir: str,
+                               seed: int = 123321,
+                               vocab_size: int = None,
+                               batch_size: int = None) -> int:
+    """Reference `checkpoint.pt` -> a framework checkpoint directory that
+    `train_entry --weights OUT_DIR` auto-resumes from.
+
+    Converts G/D weights, both Adam moment sets (+ step counts), the epoch,
+    and the histories. `vocab_size`/`batch_size` pin the run parameters the
+    torch checkpoint does not record (pass the values the resumed training
+    run will use, or the strict config-on-resume check will flag them).
+    Not carried over (the reference does not persist them): the RNG stream
+    (re-seeded from `seed`, so the resumed run's noise draws differ from a
+    hypothetical uninterrupted torch run) and an EMA generator (the
+    reference has none; the imported weights seed it)."""
+    import dataclasses
+
+    import torch
+
+    from ..train.checkpoint import CheckpointManager
+    from ..train.state import TrainState, make_optimizers
+
+    ck = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    for need in ("generator", "discriminator", "g_optimizer", "d_optimizer",
+                 "epoch"):
+        if need not in ck:
+            raise ValueError(f"{ckpt_path} has no '{need}' — expected the "
+                             "reference's checkpoint.pt layout")
+    gcfg = infer_generator_config(ck["generator"])
+    cfg = _cfg_from_generator(gcfg)
+    if vocab_size is not None:
+        cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
+            cfg.text_encoder, vocab_size=vocab_size))
+    if batch_size is not None:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=batch_size))
+    g_params = convert_torch_generator_state_dict(ck["generator"], gcfg)
+    d_params = convert_torch_discriminator_state_dict(ck["discriminator"],
+                                                      cfg.discriminator)
+
+    g_tx, d_tx = make_optimizers(cfg)
+    g_m = _adam_moments(ck["g_optimizer"], ck["generator"],
+                        lambda sd: convert_torch_generator_state_dict(
+                            sd, gcfg))
+    d_m = _adam_moments(ck["d_optimizer"], ck["discriminator"],
+                        lambda sd: convert_torch_discriminator_state_dict(
+                            sd, cfg.discriminator))
+    # Our step counter counts train steps == G updates == the G Adam count.
+    step = g_m[2] if g_m is not None else 0
+    state = TrainState(
+        step=jnp.asarray(step, jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=_inject_adam(g_tx.init(g_params), g_m),
+        d_opt_state=_inject_adam(d_tx.init(d_params), d_m),
+        g_ema_params=jax.tree.map(jnp.copy, g_params),
+        rng=jax.random.fold_in(jax.random.PRNGKey(seed), int(ck["epoch"])),
+    )
+    histories = {k: [float(v) for v in ck.get(k, [])]
+                 for k in ("g_losses", "d_losses", "d_gp_losses",
+                           "txtimg_losses", "is_scores", "fid_scores")}
+    mgr = CheckpointManager(out_dir)
+    mgr.save(int(ck["epoch"]), state, histories, config=cfg)
+    print(f"Imported training checkpoint {ckpt_path} (epoch "
+          f"{int(ck['epoch']) + 1}, step {step}) -> {out_dir}")
+    return int(ck["epoch"])
 
 
 # -- export (the inverse direction): framework pytrees -> reference-format
@@ -352,6 +477,11 @@ if __name__ == "__main__":
     direction.add_argument("--gen", help="IMPORT: path to the torch "
                                          "generator weights "
                                          "(gen_N.pth / checkpoint.pt)")
+    direction.add_argument("--ckpt", help="IMPORT the FULL training state "
+                                          "(G/D + Adam moments + epoch + "
+                                          "histories) from a reference "
+                                          "checkpoint.pt; train_entry "
+                                          "auto-resumes from the result")
     direction.add_argument("--export", metavar="WEIGHTS_DIR",
                            help="EXPORT: framework weights dir to convert "
                                 "back to a torch gen_N.pth")
@@ -364,10 +494,18 @@ if __name__ == "__main__":
                          "(default: 0 for import, latest for export)")
     ap.add_argument("--ema", action="store_true",
                     help="export the EMA generator instead of the raw one")
+    ap.add_argument("--vocab-size", type=int, default=None,
+                    help="--ckpt: dataset vocab for the resumed run's "
+                         "config (not recorded in the torch checkpoint)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="--ckpt: batch size for the resumed run's config")
     a = ap.parse_args()
     if a.gen:
         import_generator_checkpoint(a.gen, a.out,
                                     epoch=0 if a.epoch is None else a.epoch)
+    elif a.ckpt:
+        import_training_checkpoint(a.ckpt, a.out, vocab_size=a.vocab_size,
+                                   batch_size=a.batch_size)
     else:
         export_generator_checkpoint(a.export, a.out, epoch=a.epoch,
                                     use_ema=a.ema)

@@ -32,7 +32,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           remat_g: bool = False, ckpt_every: int = 1,
           xla_vmem_kib: Optional[int] = None,
           matmul_precision: Optional[str] = None,
-          compile_cache_dir: Optional[str] = None):
+          compile_cache_dir: Optional[str] = None,
+          n_channels: int = 32):
     import jax
 
     if compile_cache_dir:
@@ -81,7 +82,7 @@ def train(data_path: str, encoder_weights_path: Optional[str],
     print(f"Test set size: {len(test_ds)} images")
 
     cfg = GANConfig.for_image_size(
-        image_size, vocab_size=train_ds.n_words,
+        image_size, n_channels=n_channels, vocab_size=train_ds.n_words,
         loss_overrides={"damsm_weight": damsm_weight,
                         "gp_compute_dtype": gp_compute_dtype,
                         "gp_interval": gp_interval},
@@ -147,6 +148,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=24)
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--seed", type=int, default=123321)
+    p.add_argument("--n-channels", type=int, default=32,
+                   help="base channel width of G/D (the reference's 32; "
+                        "must match a resumed checkpoint's width)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--gp-dtype", default="float32",
@@ -195,6 +199,7 @@ def main():
     a = p.parse_args()
     train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
           a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
+          n_channels=a.n_channels,
           debug_nans=a.debug_nans, data_parallel=a.dp, multihost=a.multihost,
           damsm_weight=a.damsm_weight, gp_compute_dtype=a.gp_dtype,
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,

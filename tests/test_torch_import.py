@@ -294,3 +294,116 @@ class TestExport:
         for k in sd:
             np.testing.assert_array_equal(back[k].numpy(), sd[k].numpy(),
                                           err_msg=k)
+
+
+def _make_ref_adam_sd(model_sd, step=5, seed=20):
+    """Synthetic torch Adam optimizer state in the reference's layout:
+    state keyed by parameter index in `model.parameters()` order (== the
+    model state_dict key order, asserted below)."""
+    g = torch.Generator().manual_seed(seed)
+    state = {}
+    for i, k in enumerate(model_sd):
+        state[i] = {"step": torch.tensor(float(step)),
+                    "exp_avg": torch.randn(model_sd[k].shape, generator=g),
+                    "exp_avg_sq": torch.rand(model_sd[k].shape, generator=g)}
+    return {"state": state,
+            "param_groups": [{"params": list(range(len(model_sd)))}]}
+
+
+class TestTrainingCheckpointImport:
+    def test_parameters_order_matches_state_dict_order(self):
+        """The importer maps optimizer indices to state_dict keys assuming
+        both traversals agree (direct params, then children, registration
+        order) — incl. a module whose direct Parameter is registered AFTER
+        its submodules, like the reference blocks' trailing `gamma`."""
+        import torch.nn as nn
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = nn.Linear(3, 4)
+                self.conv = nn.Conv2d(2, 2, 1)
+                self.gamma = nn.Parameter(torch.zeros(1))  # after children
+
+        class Net(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.stem = nn.Linear(2, 3)
+                self.blocks = nn.ModuleList([Block(), Block()])
+
+        net = Net()
+        assert [n for n, _ in net.named_parameters()] == list(
+            net.state_dict())
+
+    def test_full_checkpoint_resumes_in_trainer(self, tmp_path):
+        """reference checkpoint.pt -> import -> our Trainer auto-resumes:
+        epoch/histories restored, Adam moments land in the optax state
+        (layout-transposed), and one more epoch trains finitely."""
+        from gan_codes_tpu.data import CUBDataset, DataLoader
+        from gan_codes_tpu.data.synthetic import make_synthetic_cub
+        from gan_codes_tpu.config import DataConfig
+        from gan_codes_tpu.models.text_encoder import init_text_encoder
+        from gan_codes_tpu.models.torch_import import (
+            import_training_checkpoint)
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+        from gan_codes_tpu.train.state import create_train_state
+        from gan_codes_tpu.train.trainer import Trainer
+
+        gsd = _make_ref_generator_sd(GCFG, seed=30)
+        dsd = _make_ref_discriminator_sd(DCFG, seed=31)
+        ck = {"generator": gsd, "discriminator": dsd,
+              "g_optimizer": _make_ref_adam_sd(gsd, step=7, seed=32),
+              "d_optimizer": _make_ref_adam_sd(dsd, step=14, seed=33),
+              "epoch": 2,
+              "g_losses": [0.5, 0.4, 0.3], "d_losses": [2.0, 1.9, 1.8],
+              "d_gp_losses": [0.1, 0.1, 0.1],
+              "txtimg_losses": [1.0, 0.9, 0.8],
+              "is_scores": [1.0, 1.0, 1.0], "fid_scores": [9.0, 8.0, 7.0]}
+        pt = str(tmp_path / "checkpoint.pt")
+        torch.save(ck, pt)
+
+        wdir = str(tmp_path / "weights")
+        epoch = import_training_checkpoint(pt, wdir, seed=5,
+                                   vocab_size=20, batch_size=2)
+        assert epoch == 2
+
+        mgr = CheckpointManager(wdir)
+        cfg = mgr.load_config()
+        assert cfg.generator == GCFG
+        template = jax.eval_shape(
+            lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
+        state, last_epoch, hist = mgr.restore(template)
+        assert last_epoch == 2 and int(state.step) == 7
+        assert hist["g_losses"] == [0.5, 0.4, 0.3]
+        assert hist["fid_scores"] == [9.0, 8.0, 7.0]
+
+        # spot-check moment layout: linear_in exp_avg must be transposed
+        adam = state.g_opt_state[1][0]  # chain(clip, adam(scale_by_adam,.))
+        import optax
+        assert isinstance(adam, optax.ScaleByAdamState)
+        assert int(adam.count) == 7
+        np.testing.assert_allclose(
+            np.asarray(adam.mu["linear_in"]["w"]),
+            ck["g_optimizer"]["state"][0]["exp_avg"].numpy().T, atol=0)
+        # gamma params: converted weight is scalar, moment must be too
+        assert np.shape(adam.mu["blocks"][0]["gamma"]) == ()
+
+        # the imported directory is a normal resume point: one more epoch
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=4, n_test=2, image_size=24)
+        dcfg = DataConfig(data_dir=root, image_size=GCFG.image_size)
+        train_ds = CUBDataset(dcfg, "train")
+        test_ds = CUBDataset(dcfg, "test", augment=False)
+        import dataclasses
+
+        assert cfg.text_encoder.vocab_size == train_ds.n_words
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, eval_max_batches=1))
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg2.text_encoder)
+        trainer = Trainer(cfg2, te, wdir, str(tmp_path / "imgs"),
+                          code2word=train_ds.code2word, seed=5)
+        hist2 = trainer.fit(DataLoader(train_ds, 2, seed=5),
+                            DataLoader(test_ds, 2, shuffle=False, seed=5),
+                            num_epochs=4, auto_resume=True)
+        assert len(hist2["g_losses"]) == 4  # 3 imported + 1 new
+        assert np.isfinite(hist2["g_losses"][3])

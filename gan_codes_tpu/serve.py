@@ -30,12 +30,15 @@ class Sampler:
     def __init__(self, cfg: GANConfig, g_params: Params,
                  text_encoder_params: Params,
                  word2code: Optional[Dict[str, int]] = None,
-                 batch_size: int = 8, seed: int = 0):
+                 batch_size: int = 8, seed: int = 0, mesh=None):
+        """`mesh` (a `jax.sharding.Mesh` with a "data" axis, e.g.
+        `parallel.make_mesh()`) serves the batch data-parallel: params
+        replicated, the prompt batch sharded over the axis — the GSPMD
+        scale-out of the single compiled pipeline. `batch_size` must
+        divide evenly over the axis."""
         self.cfg = cfg
         self.word2code = word2code
         self.batch_size = batch_size
-        self._g_params = jax.device_put(g_params)
-        self._te_params = jax.device_put(text_encoder_params)
         self._rng = jax.random.PRNGKey(seed)
 
         def pipeline(g_params, te_params, captions, cap_lens, noise):
@@ -49,7 +52,26 @@ class Sampler:
             return generator_apply(g_params, cfg.generator,
                                    noise.astype(dt), sents)
 
-        self._pipeline = jax.jit(pipeline)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})")
+            rep = NamedSharding(mesh, PartitionSpec())
+            shard = NamedSharding(mesh, PartitionSpec("data"))
+            self._g_params = jax.device_put(g_params, rep)
+            self._te_params = jax.device_put(text_encoder_params, rep)
+            self._pipeline = jax.jit(
+                pipeline,
+                in_shardings=(rep, rep, shard, shard, shard),
+                out_shardings=shard)
+        else:
+            self._g_params = jax.device_put(g_params)
+            self._te_params = jax.device_put(text_encoder_params)
+            self._pipeline = jax.jit(pipeline)
 
     def _next_noise(self, n: int) -> jnp.ndarray:
         self._rng, k = jax.random.split(self._rng)
@@ -144,7 +166,7 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
          out_dir: str, prompts: Sequence[str],
          image_size: Optional[int] = None,
          batch_size: int = 8, use_ema: bool = False, dtype: str = "float32",
-         seed: int = 0) -> List[str]:
+         seed: int = 0, data_parallel: bool = False) -> List[str]:
     """Batch prompt -> image serving: N prompts through ONE compiled
     resident pipeline (the production counterpart of `generate.py`'s
     one-prompt interactive path; reference serving story is
@@ -192,8 +214,14 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
         g_params, te_params = cast(g_params), cast(te_params)
 
+    mesh = None
+    if data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"Serving data-parallel over mesh: {dict(mesh.shape)}")
     sampler = Sampler(cfg, g_params, te_params, word2code=word2code,
-                      batch_size=batch_size, seed=seed)
+                      batch_size=batch_size, seed=seed, mesh=mesh)
     images = np.asarray(sampler.generate_prompts(list(prompts)),
                         dtype=np.float32)
     paths = [image_io.save_image(img, out_dir, f"serve_{i:04d}")
@@ -219,6 +247,10 @@ if __name__ == "__main__":
                          "(default: read it from <weights>/config.json, "
                          "256 for pre-config checkpoints)")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--dp", action="store_true",
+                    help="serve data-parallel over all devices (params "
+                         "replicated, prompt batch sharded; batch-size "
+                         "must divide the device count)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--ema", action="store_true",
@@ -243,4 +275,4 @@ if __name__ == "__main__":
         ap.error("no prompts given (positional or --prompts-file)")
     main(a.data, a.text_encoder, a.weights, a.out, prompts,
          image_size=a.image_size, batch_size=a.batch_size,
-         use_ema=a.ema, dtype=a.dtype, seed=a.seed)
+         use_ema=a.ema, dtype=a.dtype, seed=a.seed, data_parallel=a.dp)

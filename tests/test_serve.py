@@ -156,3 +156,52 @@ class TestServeMain:
                           image_save_path=str(tmp_path / "gen"),
                           prompt="a blue bird")
         assert p is not None and os.path.exists(p)
+
+
+class TestSamplerDP:
+    def test_mesh_sampler_matches_single_device(self):
+        """Data-parallel serving (params replicated, batch sharded over the
+        mesh's data axis) must produce the same images as the single-device
+        pipeline — same host PRNG seed means identical noise, so any delta
+        beyond reduction-order noise is a sharding bug."""
+        from gan_codes_tpu.parallel import make_mesh
+
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16,
+                                      sentence_dim=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16,
+                                              sentence_dim=16),
+            text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                           hidden_dim=16, max_len=6),
+        )
+        g = jax.jit(lambda k: init_generator(k, cfg.generator))(KEY)
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        word2code = {"<unk>": 1, "bird": 2, "red": 3}
+
+        single = Sampler(cfg, g, te, word2code, batch_size=8, seed=3)
+        dp = Sampler(cfg, g, te, word2code, batch_size=8, seed=3,
+                     mesh=make_mesh())
+        caps = np.tile(np.arange(1, 7, dtype=np.int32), (11, 1))  # 11 -> pad
+        lens = np.full((11,), 6, np.int32)
+        a = single.generate_tokens(caps, lens)
+        b = dp.generate_tokens(caps, lens)
+        assert a.shape == b.shape == (11, 16, 16, 3)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_batch_not_divisible_by_mesh_raises(self):
+        from gan_codes_tpu.parallel import make_mesh
+
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16,
+                                      sentence_dim=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16,
+                                              sentence_dim=16),
+            text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                           hidden_dim=16, max_len=6),
+        )
+        g = jax.jit(lambda k: init_generator(k, cfg.generator))(KEY)
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        import pytest
+
+        with pytest.raises(ValueError, match="divisible"):
+            Sampler(cfg, g, te, batch_size=6, mesh=make_mesh())

@@ -70,34 +70,16 @@ def main(data_dir: str = "data", encoder_weights_path: str = "text_encoder.pth",
     `show` additionally opens the saved image in the system viewer
     (reference `test_generate.py:76-81` calls `image.show()` always; here
     it is opt-in because this framework targets headless TPU hosts)."""
-    import dataclasses
-
     from .models.text_encoder import load_text_encoder
 
     code2word, word2code = load_vocab(data_dir)
     ckpt = CheckpointManager(gen_weights_dir)
     # Rebuild the exact model the checkpoint was trained as (its persisted
-    # config.json); fall back to the reference's 256px default for weight
-    # dirs that predate config persistence. Vocab always follows the data
-    # dir's captions.pickle (reference `test_generate.py:30-34` semantics).
-    cfg = ckpt.load_config()
-    if cfg is None:
-        cfg = GANConfig.for_image_size(256, vocab_size=len(code2word))
-    elif cfg.text_encoder.vocab_size != len(code2word):
-        cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
-            cfg.text_encoder, vocab_size=len(code2word)))
+    # config.json, 256px default for pre-config dirs; vocab follows the
+    # data dir's captions.pickle — reference `test_generate.py:30-34`).
+    cfg = ckpt.resolve_inference_config(vocab_size=len(code2word))
     te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
-
-    epoch = ckpt.latest_generator_epoch()
-    if epoch is None:
-        raise FileNotFoundError(
-            "No generator weights found in gen_weights directory.")
-    from .models.generator import init_generator
-    template = jax.eval_shape(
-        lambda k: {"g_params": init_generator(k, cfg.generator),
-                   "g_ema_params": init_generator(k, cfg.generator)},
-        jax.random.PRNGKey(0))
-    gen_tree = ckpt.restore_generator(epoch, template)
+    gen_tree, _epoch = ckpt.restore_generator_tree(cfg.generator)
 
     if prompt is None:
         prompt = input("Enter your text prompt: ").strip()

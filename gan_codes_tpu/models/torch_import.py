@@ -35,6 +35,27 @@ def _t2j(t) -> jnp.ndarray:
     return jnp.asarray(np.asarray(t.detach().cpu().numpy()))
 
 
+def _torch_load_ref(path: str):
+    """torch.load for reference artifacts, weights-only.
+
+    Real reference checkpoint.pt files contain numpy SCALARS in the loss
+    histories (`model.py:233-236` appends `np.mean(...)` outputs before
+    torch.save), which torch>=2.6's weights_only unpickler rejects.
+    Retry with just the numpy scalar/dtype globals allowlisted — still
+    weights_only, no arbitrary code execution."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        core = getattr(np, "_core", None) or np.core
+        allow = [core.multiarray.scalar, np.dtype]
+        allow += [getattr(np.dtypes, n) for n in dir(np.dtypes)
+                  if n.endswith("DType")]
+        with torch.serialization.safe_globals(allow):
+            return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def _lin(sd: Dict, prefix: str) -> Params:
     """torch nn.Linear -> {"w": [in,out], "b": [out]}."""
     p = {"w": _t2j(sd[f"{prefix}.weight"]).T}
@@ -190,8 +211,7 @@ def load_torch_generator(path: str, cfg: GeneratorConfig = None) -> Tuple[
     Returns (params, cfg)."""
     import torch
 
-    sd = _maybe_unwrap(torch.load(path, map_location="cpu",
-                                  weights_only=True), "generator")
+    sd = _maybe_unwrap(_torch_load_ref(path), "generator")
     if cfg is None:
         cfg = infer_generator_config(sd)
     return convert_torch_generator_state_dict(sd, cfg), cfg
@@ -203,8 +223,7 @@ def load_torch_discriminator(path: str, cfg: DiscriminatorConfig
     discriminator state_dict) and convert."""
     import torch
 
-    sd = _maybe_unwrap(torch.load(path, map_location="cpu",
-                                  weights_only=True), "discriminator")
+    sd = _maybe_unwrap(_torch_load_ref(path), "discriminator")
     return convert_torch_discriminator_state_dict(sd, cfg)
 
 
@@ -228,8 +247,11 @@ def import_generator_checkpoint(torch_path: str, out_dir: str,
     cfg = _cfg_from_generator(gcfg)
     state = types.SimpleNamespace(g_params=g_params, g_ema_params=g_params)
     mgr = CheckpointManager(out_dir)
+    # config first: a crash between the two writes then leaves config.json
+    # without gen_N (clean "no weights" error) instead of gen_N without
+    # config.json (silent 256px-default fallback, wrong architecture).
+    mgr.save_config(cfg)
     mgr.save_generator(epoch, state)
-    mgr._write_json("config.json", dataclasses.asdict(cfg))
     print(f"Imported {torch_path} -> {out_dir}/gen_{epoch} "
           f"({gcfg.image_size}px, n_channels={gcfg.n_channels})")
     return out_dir
@@ -321,7 +343,7 @@ def import_training_checkpoint(ckpt_path: str, out_dir: str,
     from ..train.checkpoint import CheckpointManager
     from ..train.state import TrainState, make_optimizers
 
-    ck = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    ck = _torch_load_ref(ckpt_path)
     for need in ("generator", "discriminator", "g_optimizer", "d_optimizer",
                  "epoch"):
         if need not in ck:
@@ -332,9 +354,13 @@ def import_training_checkpoint(ckpt_path: str, out_dir: str,
     if vocab_size is not None:
         cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
             cfg.text_encoder, vocab_size=vocab_size))
-    if batch_size is not None:
-        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-            cfg.train, batch_size=batch_size))
+    # Record the ACTUAL seed the imported RNG stream derives from — a
+    # config.json claiming the default while state.rng came from another
+    # seed would either trip verify_config on resume (--seed given) or
+    # silently misdocument the stream (--seed omitted).
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, seed=seed,
+        **({"batch_size": batch_size} if batch_size is not None else {})))
     g_params = convert_torch_generator_state_dict(ck["generator"], gcfg)
     d_params = convert_torch_discriminator_state_dict(ck["discriminator"],
                                                       cfg.discriminator)
@@ -443,23 +469,14 @@ def export_generator_checkpoint(weights_dir: str, torch_path: str,
     import torch
 
     from ..train.checkpoint import CheckpointManager
-    from .generator import init_generator
 
     mgr = CheckpointManager(weights_dir)
-    if epoch is None:
-        epoch = mgr.latest_generator_epoch()
-        if epoch is None:
-            raise FileNotFoundError(f"no gen_N under {weights_dir}")
     cfg = mgr.load_config()
     if cfg is None:
         raise FileNotFoundError(
             f"{weights_dir}/config.json missing — cannot rebuild the "
             "architecture; re-save with a current trainer or import first.")
-    template = jax.eval_shape(
-        lambda k: {"g_params": init_generator(k, cfg.generator),
-                   "g_ema_params": init_generator(k, cfg.generator)},
-        jax.random.PRNGKey(0))
-    tree = mgr.restore_generator(epoch, template)
+    tree, epoch = mgr.restore_generator_tree(cfg.generator, epoch)
     params = tree["g_ema_params" if use_ema else "g_params"]
     torch.save(export_generator_state_dict(params), torch_path)
     print(f"Exported {weights_dir}/gen_{epoch}"
@@ -500,6 +517,9 @@ if __name__ == "__main__":
     ap.add_argument("--batch-size", type=int, default=None,
                     help="--ckpt: batch size for the resumed run's config")
     a = ap.parse_args()
+    if a.ckpt and a.epoch is not None:
+        ap.error("--epoch is not valid with --ckpt: the epoch comes from "
+                 "the checkpoint.pt itself")
     if a.gen:
         import_generator_checkpoint(a.gen, a.out,
                                     epoch=0 if a.epoch is None else a.epoch)

@@ -175,37 +175,22 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
     Writes one PNG per prompt plus a grid; returns the per-prompt paths.
     `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
     see Sampler.pipeline). `image_size=None` (the default) rebuilds the
-    model from the checkpoint's persisted config.json; pass a size only to
-    override it (or for weight dirs predating config persistence, which
-    fall back to the reference's 256)."""
-    import dataclasses
-
+    model from the checkpoint's persisted config.json; an explicit size
+    replaces ONLY the image size in that config (n_channels and the other
+    dims persist — a full-discard override would fail restore for any
+    non-default-width checkpoint). Pre-config weight dirs fall back to
+    the reference's 256px default."""
     from .generate import load_vocab
-    from .models.generator import init_generator
     from .models.text_encoder import load_text_encoder
     from .train.checkpoint import CheckpointManager
     from .utils import image_io
 
     code2word, word2code = load_vocab(data_dir)
     ckpt = CheckpointManager(gen_weights_dir)
-    cfg = ckpt.load_config() if image_size is None else None
-    if cfg is None:
-        cfg = GANConfig.for_image_size(image_size or 256,
-                                       vocab_size=len(code2word))
-    elif cfg.text_encoder.vocab_size != len(code2word):
-        cfg = dataclasses.replace(cfg, text_encoder=dataclasses.replace(
-            cfg.text_encoder, vocab_size=len(code2word)))
+    cfg = ckpt.resolve_inference_config(vocab_size=len(code2word),
+                                        image_size=image_size)
     te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
-
-    epoch = ckpt.latest_generator_epoch()
-    if epoch is None:
-        raise FileNotFoundError(
-            f"No generator weights (gen_N) found in {gen_weights_dir}")
-    template = jax.eval_shape(
-        lambda k: {"g_params": init_generator(k, cfg.generator),
-                   "g_ema_params": init_generator(k, cfg.generator)},
-        jax.random.PRNGKey(0))
-    gen_tree = ckpt.restore_generator(epoch, template)
+    gen_tree, epoch = ckpt.restore_generator_tree(cfg.generator)
     g_params = gen_tree["g_ema_params" if use_ema else "g_params"]
 
     if dtype == "bfloat16":

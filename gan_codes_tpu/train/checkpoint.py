@@ -136,7 +136,14 @@ class CheckpointManager:
         if jax.process_index() == 0:
             self._write_json("histories.json", {"epoch": epoch, **histories})
             if config is not None:
-                self._write_json("config.json", dataclasses.asdict(config))
+                self.save_config(config)
+
+    def save_config(self, config: Any) -> None:
+        """Persist the run's GANConfig as config.json (atomic write) so
+        inference entry points can rebuild the exact model later
+        (`load_config`). Public so importers/tools don't reach into the
+        private JSON helper."""
+        self._write_json("config.json", dataclasses.asdict(config))
 
     def save_generator(self, epoch: int, state: TrainState) -> None:
         """Generator-only weights for inference (`model.py:321-327`),
@@ -193,6 +200,39 @@ class CheckpointManager:
 
         with open(path) as f:
             return GANConfig.from_dict(json.load(f))
+
+    def resolve_inference_config(self, vocab_size: int,
+                                 image_size: Optional[int] = None):
+        """The config an inference entry point should rebuild the model
+        with: the checkpoint's persisted config.json when present (the
+        reference's 256px default otherwise), with vocab following the
+        data dir's captions.pickle (reference `test_generate.py:30-34`
+        semantics) and — when `image_size` is explicitly given — ONLY the
+        image size replaced. An override must not discard the rest of the
+        persisted config (n_channels/latent/sentence dims), or a
+        non-default-width checkpoint fails restore on a tree mismatch."""
+        import dataclasses
+
+        from ..config import GANConfig
+
+        cfg = self.load_config()
+        if cfg is None:
+            return GANConfig.for_image_size(image_size or 256,
+                                            vocab_size=vocab_size)
+        if image_size is not None and \
+                image_size != cfg.generator.image_size:
+            cfg = dataclasses.replace(
+                cfg,
+                generator=dataclasses.replace(cfg.generator,
+                                              image_size=image_size),
+                discriminator=dataclasses.replace(cfg.discriminator,
+                                                  image_size=image_size),
+                data=dataclasses.replace(cfg.data, image_size=image_size))
+        if cfg.text_encoder.vocab_size != vocab_size:
+            cfg = dataclasses.replace(
+                cfg, text_encoder=dataclasses.replace(
+                    cfg.text_encoder, vocab_size=vocab_size))
+        return cfg
 
     def verify_config(self, config: Any) -> None:
         """Fail loudly if `config` differs semantically from the config the
@@ -260,3 +300,22 @@ class CheckpointManager:
     def restore_generator(self, epoch: int, template: Any) -> Any:
         """Restore {'g_params': ..., 'g_ema_params': ...} for inference."""
         return self._ckptr.restore(self._path(f"gen_{epoch}"), template)
+
+    def restore_generator_tree(self, generator_cfg: Any,
+                               epoch: Optional[int] = None) -> Any:
+        """Build the {'g_params','g_ema_params'} template from the
+        generator config and restore it — the shared inference restore
+        used by generate.py / serve.py / the torch exporter. `epoch=None`
+        restores the latest gen_N."""
+        from ..models.generator import init_generator
+
+        if epoch is None:
+            epoch = self.latest_generator_epoch()
+            if epoch is None:
+                raise FileNotFoundError(
+                    f"No generator weights (gen_N) found in {self.directory}")
+        template = jax.eval_shape(
+            lambda k: {"g_params": init_generator(k, generator_cfg),
+                       "g_ema_params": init_generator(k, generator_cfg)},
+            jax.random.PRNGKey(0))
+        return self.restore_generator(epoch, template), epoch

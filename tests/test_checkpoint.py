@@ -192,3 +192,41 @@ class TestCheckpointRoundTrip:
         assert restored["fid_scores"][0] == float("inf")
         assert restored["fid_scores"][1] == 12.5
         assert math.isnan(restored["is_scores"][1])
+
+
+class TestResolveInferenceConfig:
+    def test_override_replaces_only_image_size(self, tmp_path):
+        """An explicit --image-size must not discard the rest of the
+        persisted config — a non-default-width (n_channels) checkpoint
+        would fail restore against the rebuilt default (review finding)."""
+        import dataclasses
+
+        from gan_codes_tpu.config import GANConfig
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+
+        cfg = GANConfig.for_image_size(16, n_channels=4, vocab_size=20)
+        mgr = CheckpointManager(str(tmp_path / "w"))
+        mgr.save_config(cfg)
+
+        same = mgr.resolve_inference_config(vocab_size=20, image_size=16)
+        assert same == cfg  # size-matching override is a no-op
+
+        bigger = mgr.resolve_inference_config(vocab_size=20, image_size=32)
+        assert bigger.generator.n_channels == 4  # preserved
+        assert bigger.generator.image_size == 32
+        assert bigger.discriminator.image_size == 32
+        assert bigger.data.image_size == 32
+
+        vocab = mgr.resolve_inference_config(vocab_size=77)
+        assert vocab.text_encoder.vocab_size == 77
+        assert vocab.generator == cfg.generator
+
+    def test_pre_config_dir_falls_back_to_256(self, tmp_path):
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "w"))
+        cfg = mgr.resolve_inference_config(vocab_size=10)
+        assert cfg.generator.image_size == 256
+        assert cfg.text_encoder.vocab_size == 10
+        cfg2 = mgr.resolve_inference_config(vocab_size=10, image_size=64)
+        assert cfg2.generator.image_size == 64

@@ -311,18 +311,18 @@ class TestInferencePaths:
         import gan_codes_tpu.generate as gen_mod
         import gan_codes_tpu.models.text_encoder as te_mod
 
+        from gan_codes_tpu.config import GANConfig
+
         class StubCkpt:
             def __init__(self, d):
                 pass
 
-            def latest_generator_epoch(self):
-                return 3
+            def resolve_inference_config(self, vocab_size, image_size=None):
+                return GANConfig.for_image_size(image_size or 256,
+                                                vocab_size=vocab_size)
 
-            def load_config(self):
-                return None  # pre-config-persistence dir -> 256px default
-
-            def restore_generator(self, epoch, template):
-                return {"g_params": {}, "g_ema_params": {}}
+            def restore_generator_tree(self, gen_cfg, epoch=None):
+                return {"g_params": {}, "g_ema_params": {}}, 3
 
         monkeypatch.setattr(gen_mod, "load_vocab",
                             lambda d: ({0: "a"}, {"a": 0}))

@@ -355,7 +355,12 @@ class TestTrainingCheckpointImport:
               "g_optimizer": _make_ref_adam_sd(gsd, step=7, seed=32),
               "d_optimizer": _make_ref_adam_sd(dsd, step=14, seed=33),
               "epoch": 2,
-              "g_losses": [0.5, 0.4, 0.3], "d_losses": [2.0, 1.9, 1.8],
+              # numpy scalars, as the REAL reference writes them
+              # (model.py:233-236 appends np.mean outputs): regression for
+              # torch>=2.6 weights_only rejecting numpy globals
+              "g_losses": [np.float64(0.5), np.float64(0.4),
+                           np.float64(0.3)],
+              "d_losses": [2.0, 1.9, 1.8],
               "d_gp_losses": [0.1, 0.1, 0.1],
               "txtimg_losses": [1.0, 0.9, 0.8],
               "is_scores": [1.0, 1.0, 1.0], "fid_scores": [9.0, 8.0, 7.0]}
@@ -370,6 +375,7 @@ class TestTrainingCheckpointImport:
         mgr = CheckpointManager(wdir)
         cfg = mgr.load_config()
         assert cfg.generator == GCFG
+        assert cfg.train.seed == 5  # the ACTUAL seed the rng derives from
         template = jax.eval_shape(
             lambda k: create_train_state(k, cfg), jax.random.PRNGKey(0))
         state, last_epoch, hist = mgr.restore(template)

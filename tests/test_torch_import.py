@@ -92,70 +92,10 @@ def _make_ref_discriminator_sd(cfg: DiscriminatorConfig, seed: int = 1):
     return sd
 
 
-# -- reference forwards on the RAW state_dict (torch NCHW, no conversion)
-
-def _sd_affine(sd, p, x, sent):
-    def mlp(pp):
-        h = F.relu(F.linear(sent, sd[f"{pp}.0.weight"], sd[f"{pp}.0.bias"]))
-        return F.linear(h, sd[f"{pp}.2.weight"], sd[f"{pp}.2.bias"])
-
-    return (mlp(f"{p}.gamma_mlp")[:, :, None, None] * x
-            + mlp(f"{p}.beta_mlp")[:, :, None, None])
-
-
-def _sd_res_block_g(sd, p, x, sent):
-    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_1", x, sent), 0.2)
-    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_2", h, sent), 0.2)
-    h = F.conv2d(h, sd[f"{p}.conv_1.weight"], sd[f"{p}.conv_1.bias"],
-                 padding=1)
-    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_3", h, sent), 0.2)
-    h = F.leaky_relu(_sd_affine(sd, f"{p}.fusion_block_4", h, sent), 0.2)
-    h = F.conv2d(h, sd[f"{p}.conv_2.weight"], sd[f"{p}.conv_2.bias"],
-                 padding=1)
-    short = x
-    if f"{p}.scale_conv.weight" in sd:
-        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
-                         sd[f"{p}.scale_conv.bias"])
-    return short + sd[f"{p}.gamma"] * h
-
-
-def _sd_generator(sd, cfg, noise, sent):
-    x = F.linear(noise, sd["linear_in.weight"], sd["linear_in.bias"])
-    x = x.view(noise.shape[0], cfg.seed_channels, cfg.base_size,
-               cfg.base_size)
-    n_up = len(cfg.block_channels) - 1
-    for i in range(n_up):
-        x = F.interpolate(_sd_res_block_g(sd, f"res_blocks.{i}", x, sent),
-                          scale_factor=2)
-    x = _sd_res_block_g(sd, "res_block_out", x, sent)
-    x = F.conv2d(F.leaky_relu(x, 0.2), sd["conv_out.1.weight"],
-                 sd["conv_out.1.bias"], padding=1)
-    return torch.tanh(x)
-
-
-def _sd_res_block_d(sd, p, x):
-    h = F.leaky_relu(F.conv2d(x, sd[f"{p}.residual_conv.0.weight"], None,
-                              stride=2, padding=1), 0.2)
-    h = F.leaky_relu(F.conv2d(h, sd[f"{p}.residual_conv.2.weight"], None,
-                              padding=1), 0.2)
-    short = x
-    if f"{p}.scale_conv.weight" in sd:
-        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
-                         sd[f"{p}.scale_conv.bias"])
-    return F.avg_pool2d(short, 2) + sd[f"{p}.gamma"] * h
-
-
-def _sd_discriminator(sd, cfg, img, sent):
-    x = F.conv2d(img, sd["img_forward.0.weight"], sd["img_forward.0.bias"],
-                 padding=1)
-    for i in range(len(cfg.block_channels)):
-        x = _sd_res_block_d(sd, f"img_forward.{i + 1}", x)
-    s = sent.view(-1, sent.shape[1], 1, 1).repeat(1, 1, x.shape[2],
-                                                  x.shape[3])
-    j = torch.cat((x, s), 1)
-    j = F.leaky_relu(F.conv2d(j, sd["img_sentence_forward.0.weight"], None,
-                              padding=1), 0.2)
-    return F.conv2d(j, sd["img_sentence_forward.2.weight"], None)
+# raw-state_dict reference forwards live in torch_ref (shared with
+# tools/validate_pretrained.py --check-weights)
+from torch_ref import (sd_discriminator_forward,  # noqa: E402
+                       sd_generator_forward)
 
 
 class TestGeneratorImport:
@@ -167,7 +107,7 @@ class TestGeneratorImport:
                             generator=torch.Generator().manual_seed(7))
         sent = torch.randn(3, GCFG.sentence_dim,
                            generator=torch.Generator().manual_seed(8))
-        want = _sd_generator(sd, GCFG, noise, sent)  # NCHW
+        want = sd_generator_forward(sd, GCFG, noise, sent)  # NCHW
         got = generator_apply(params, GCFG, np.asarray(noise),
                               np.asarray(sent))  # NHWC
         np.testing.assert_allclose(
@@ -241,7 +181,7 @@ class TestDiscriminatorImport:
                           generator=torch.Generator().manual_seed(9))
         sent = torch.randn(2, DCFG.sentence_dim,
                            generator=torch.Generator().manual_seed(10))
-        want = _sd_discriminator(sd, DCFG, img, sent)  # [B,1,h,w] NCHW
+        want = sd_discriminator_forward(sd, DCFG, img, sent)  # NCHW
         got = discriminator_apply(params, np.asarray(
             img.permute(0, 2, 3, 1).contiguous()), np.asarray(sent))
         np.testing.assert_allclose(

@@ -257,3 +257,77 @@ def random_inception_state_dict(seed: int = 0):
     sd["fc.weight"] = torch.randn((1000, 2048), generator=g) * 0.02
     sd["fc.bias"] = torch.zeros((1000,))
     return sd
+
+
+# -- reference forwards on a RAW reference-format state_dict (torch NCHW,
+# reference key names, NO layout conversion) — the independent oracle leg
+# for the torch_import converters (tests/test_torch_import.py) and the
+# tools/validate_pretrained.py --check-weights migration sanity check.
+# Semantics mirror src/generator/model.py:32-46 and
+# src/discriminator/model.py:36-59.
+
+def sd_affine(sd, p, x, sent):
+    def mlp(pp):
+        h = F.relu(F.linear(sent, sd[f"{pp}.0.weight"], sd[f"{pp}.0.bias"]))
+        return F.linear(h, sd[f"{pp}.2.weight"], sd[f"{pp}.2.bias"])
+
+    return (mlp(f"{p}.gamma_mlp")[:, :, None, None] * x
+            + mlp(f"{p}.beta_mlp")[:, :, None, None])
+
+
+def sd_res_block_g(sd, p, x, sent):
+    h = F.leaky_relu(sd_affine(sd, f"{p}.fusion_block_1", x, sent), 0.2)
+    h = F.leaky_relu(sd_affine(sd, f"{p}.fusion_block_2", h, sent), 0.2)
+    h = F.conv2d(h, sd[f"{p}.conv_1.weight"], sd[f"{p}.conv_1.bias"],
+                 padding=1)
+    h = F.leaky_relu(sd_affine(sd, f"{p}.fusion_block_3", h, sent), 0.2)
+    h = F.leaky_relu(sd_affine(sd, f"{p}.fusion_block_4", h, sent), 0.2)
+    h = F.conv2d(h, sd[f"{p}.conv_2.weight"], sd[f"{p}.conv_2.bias"],
+                 padding=1)
+    short = x
+    if f"{p}.scale_conv.weight" in sd:
+        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
+                         sd[f"{p}.scale_conv.bias"])
+    return short + sd[f"{p}.gamma"] * h
+
+
+def sd_generator_forward(sd, cfg, noise, sent):
+    """cfg is a GeneratorConfig; noise/sent are torch tensors. Returns the
+    NCHW image batch."""
+    x = F.linear(noise, sd["linear_in.weight"], sd["linear_in.bias"])
+    x = x.view(noise.shape[0], cfg.seed_channels, cfg.base_size,
+               cfg.base_size)
+    n_up = len(cfg.block_channels) - 1
+    for i in range(n_up):
+        x = F.interpolate(sd_res_block_g(sd, f"res_blocks.{i}", x, sent),
+                          scale_factor=2)
+    x = sd_res_block_g(sd, "res_block_out", x, sent)
+    x = F.conv2d(F.leaky_relu(x, 0.2), sd["conv_out.1.weight"],
+                 sd["conv_out.1.bias"], padding=1)
+    return torch.tanh(x)
+
+
+def sd_res_block_d(sd, p, x):
+    h = F.leaky_relu(F.conv2d(x, sd[f"{p}.residual_conv.0.weight"], None,
+                              stride=2, padding=1), 0.2)
+    h = F.leaky_relu(F.conv2d(h, sd[f"{p}.residual_conv.2.weight"], None,
+                              padding=1), 0.2)
+    short = x
+    if f"{p}.scale_conv.weight" in sd:
+        short = F.conv2d(x, sd[f"{p}.scale_conv.weight"],
+                         sd[f"{p}.scale_conv.bias"])
+    return F.avg_pool2d(short, 2) + sd[f"{p}.gamma"] * h
+
+
+def sd_discriminator_forward(sd, cfg, img, sent):
+    """cfg is a DiscriminatorConfig; img NCHW, sent [B,S] torch tensors."""
+    x = F.conv2d(img, sd["img_forward.0.weight"], sd["img_forward.0.bias"],
+                 padding=1)
+    for i in range(len(cfg.block_channels)):
+        x = sd_res_block_d(sd, f"img_forward.{i + 1}", x)
+    s = sent.view(-1, sent.shape[1], 1, 1).repeat(1, 1, x.shape[2],
+                                                  x.shape[3])
+    j = torch.cat((x, s), 1)
+    j = F.leaky_relu(F.conv2d(j, sd["img_sentence_forward.0.weight"], None,
+                              padding=1), 0.2)
+    return F.conv2d(j, sd["img_sentence_forward.2.weight"], None)

@@ -201,6 +201,47 @@ def validate_metrics(inception_path: str, fake: np.ndarray,
 # input assembly
 # ---------------------------------------------------------------------------
 
+def validate_weights_dir(weights_dir: str, n: int = 4) -> None:
+    """Migration sanity check for a framework weights dir: export the
+    generator to a reference-format torch state_dict and assert our
+    forward matches the reference semantics (torch_ref raw-state_dict
+    forward — no layout conversion on the torch leg) at the ACTUAL
+    trained weights, not just the random-weight test fixtures."""
+    import jax
+    import torch
+    import torch_ref
+
+    from gan_codes_tpu.models.generator import generator_apply
+    from gan_codes_tpu.models.torch_import import (
+        export_generator_state_dict)
+    from gan_codes_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(weights_dir)
+    cfg = mgr.load_config()
+    if cfg is None:
+        _check("weights-dir export/forward parity", False,
+               f"{weights_dir}/config.json missing")
+        return
+    tree, epoch = mgr.restore_generator_tree(cfg.generator)
+    sd = export_generator_state_dict(tree["g_params"])
+
+    g = np.random.default_rng(0)
+    noise = g.standard_normal((n, cfg.generator.latent_dim),
+                              dtype=np.float32)
+    sent = g.standard_normal((n, cfg.generator.sentence_dim),
+                             dtype=np.float32)
+    want = torch_ref.sd_generator_forward(
+        sd, cfg.generator, torch.from_numpy(noise), torch.from_numpy(sent))
+    got = np.asarray(jax.device_get(generator_apply(
+        tree["g_params"], cfg.generator, noise, sent)))
+    delta = float(np.abs(got - want.permute(0, 2, 3, 1).numpy()).max())
+    _check("weights-dir export/forward parity",
+           delta < 5e-4,
+           f"epoch-{epoch} gen ({cfg.generator.image_size}px) vs reference "
+           f"semantics on the exported state_dict: max|delta|={delta:.3e} "
+           f"(tol 5e-4)")
+
+
 def load_cub_inputs(cub_dir: str, n_images: int):
     """Real CUB test-split images (reference eval inputs: bbox crop, center
     76/64 resize, [-1,1]) + their captions."""
@@ -284,6 +325,10 @@ def main() -> int:
     ap.add_argument("--n-images", type=int, default=64)
     ap.add_argument("--self-test", action="store_true",
                     help="prove the harness on schema-correct random weights")
+    ap.add_argument("--check-weights", metavar="WEIGHTS_DIR",
+                    help="migration sanity check: export WEIGHTS_DIR's "
+                         "generator to a reference torch state_dict and "
+                         "assert forward parity at the trained weights")
     ap.add_argument("--keep-platform", action="store_true",
                     help="run JAX on the default backend instead of forcing "
                     "CPU (cross-framework deltas then include TPU-vs-CPU "
@@ -298,6 +343,14 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    if args.check_weights:
+        validate_weights_dir(args.check_weights)
+        if not (args.text_encoder or args.inception or args.self_test):
+            failed = [n for n, ok in _RESULTS if not ok]
+            print(f"\n{len(_RESULTS) - len(failed)}/{len(_RESULTS)} checks "
+                  f"passed" + (f"; FAILED: {failed}" if failed else ""))
+            return 1 if failed else 0
+
     if args.self_test:
         import tempfile
 
@@ -306,7 +359,7 @@ def main() -> int:
         args.text_encoder, args.inception = make_self_test_assets(tmp)
     if not args.text_encoder or not args.inception:
         ap.error("--text-encoder and --inception are required "
-                 "(or --self-test)")
+                 "(or --self-test / --check-weights)")
 
     import torch
 

@@ -39,12 +39,7 @@ def main():
         te_params = init_text_encoder(jax.random.PRNGKey(0), cfg.text_encoder)
 
     ckpt = CheckpointManager(a.weights)
-    epoch = ckpt.latest_generator_epoch()
-    template = jax.eval_shape(
-        lambda k: {"g_params": init_generator(k, cfg.generator),
-                   "g_ema_params": init_generator(k, cfg.generator)},
-        jax.random.PRNGKey(0))
-    tree = ckpt.restore_generator(epoch, template)
+    tree, epoch = ckpt.restore_generator_tree(cfg.generator)
     print(f"Loaded generator from epoch {epoch}")
 
     # batch sampling on the test split (reference eval cell 6)

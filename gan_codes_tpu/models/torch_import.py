@@ -43,11 +43,15 @@ def _torch_load_ref(path: str):
     torch.save), which torch>=2.6's weights_only unpickler rejects.
     Retry with just the numpy scalar/dtype globals allowlisted — still
     weights_only, no arbitrary code execution."""
+    import pickle
+
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except pickle.UnpicklingError:
+        # only the weights_only global rejection retries; corruption / IO
+        # errors surface as themselves
         core = getattr(np, "_core", None) or np.core
         allow = [core.multiarray.scalar, np.dtype]
         allow += [getattr(np.dtypes, n) for n in dir(np.dtypes)
@@ -235,7 +239,6 @@ def import_generator_checkpoint(torch_path: str, out_dir: str,
 
     The reference has no EMA generator, so the imported weights serve as
     both the raw and the EMA copy."""
-    import dataclasses
     import types
 
     from ..train.checkpoint import CheckpointManager
@@ -520,6 +523,10 @@ if __name__ == "__main__":
     if a.ckpt and a.epoch is not None:
         ap.error("--epoch is not valid with --ckpt: the epoch comes from "
                  "the checkpoint.pt itself")
+    if not a.ckpt and (a.vocab_size is not None or a.batch_size is not None):
+        ap.error("--vocab-size/--batch-size only apply to --ckpt imports")
+    if a.ema and not a.export:
+        ap.error("--ema only applies to --export")
     if a.gen:
         import_generator_checkpoint(a.gen, a.out,
                                     epoch=0 if a.epoch is None else a.epoch)

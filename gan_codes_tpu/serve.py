@@ -52,6 +52,7 @@ class Sampler:
             return generator_apply(g_params, cfg.generator,
                                    noise.astype(dt), sents)
 
+        self._shardings = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -62,6 +63,7 @@ class Sampler:
                     f"data axis ({n_data})")
             rep = NamedSharding(mesh, PartitionSpec())
             shard = NamedSharding(mesh, PartitionSpec("data"))
+            self._shardings = (rep, shard)
             self._g_params = jax.device_put(g_params, rep)
             self._te_params = jax.device_put(text_encoder_params, rep)
             self._pipeline = jax.jit(
@@ -150,6 +152,14 @@ class Sampler:
             out, _ = jax.lax.scan(body, noise, jnp.arange(n_batches))
             return out
 
+        if self._shardings is not None:
+            # benchmark the SAME data-parallel layout the pipeline serves
+            # with; an unsharded jit here would measure replicated compute
+            rep, shard = self._shardings
+            run = jax.jit(run.__wrapped__,
+                          in_shardings=(rep, rep, shard, shard, shard),
+                          out_shardings=shard)
+
         g, te = self._g_params, self._te_params
         captions = jnp.ones((bs, cfg.text_encoder.max_len), jnp.int32)
         cap_lens = jnp.full((bs,), cfg.text_encoder.max_len, jnp.int32)
@@ -175,11 +185,10 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
     Writes one PNG per prompt plus a grid; returns the per-prompt paths.
     `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
     see Sampler.pipeline). `image_size=None` (the default) rebuilds the
-    model from the checkpoint's persisted config.json; an explicit size
-    replaces ONLY the image size in that config (n_channels and the other
-    dims persist — a full-discard override would fail restore for any
-    non-default-width checkpoint). Pre-config weight dirs fall back to
-    the reference's 256px default."""
+    model from the checkpoint's persisted config.json; an explicit size is
+    validated against the trained size (weights cannot restore into a
+    different ladder) and only selects the architecture for pre-config
+    weight dirs (which default to the reference's 256px)."""
     from .generate import load_vocab
     from .models.text_encoder import load_text_encoder
     from .train.checkpoint import CheckpointManager
@@ -234,8 +243,8 @@ if __name__ == "__main__":
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--dp", action="store_true",
                     help="serve data-parallel over all devices (params "
-                         "replicated, prompt batch sharded; batch-size "
-                         "must divide the device count)")
+                         "replicated, prompt batch sharded; the device "
+                         "count must divide batch-size)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--ema", action="store_true",

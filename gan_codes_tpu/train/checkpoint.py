@@ -207,12 +207,10 @@ class CheckpointManager:
         with: the checkpoint's persisted config.json when present (the
         reference's 256px default otherwise), with vocab following the
         data dir's captions.pickle (reference `test_generate.py:30-34`
-        semantics) and — when `image_size` is explicitly given — ONLY the
-        image size replaced. An override must not discard the rest of the
-        persisted config (n_channels/latent/sentence dims), or a
-        non-default-width checkpoint fails restore on a tree mismatch."""
-        import dataclasses
-
+        semantics). An explicit `image_size` is validated against the
+        trained size for config-bearing checkpoints (the block ladder
+        derives from it, so a different size cannot restore) and selects
+        the architecture only for pre-config dirs."""
         from ..config import GANConfig
 
         cfg = self.load_config()
@@ -221,13 +219,15 @@ class CheckpointManager:
                                             vocab_size=vocab_size)
         if image_size is not None and \
                 image_size != cfg.generator.image_size:
-            cfg = dataclasses.replace(
-                cfg,
-                generator=dataclasses.replace(cfg.generator,
-                                              image_size=image_size),
-                discriminator=dataclasses.replace(cfg.discriminator,
-                                                  image_size=image_size),
-                data=dataclasses.replace(cfg.data, image_size=image_size))
+            # The block ladder derives from image_size, so weights trained
+            # at one size cannot restore into another — fail HERE with the
+            # real reason instead of a deep Orbax tree-structure error.
+            raise ValueError(
+                f"This checkpoint was trained at "
+                f"{cfg.generator.image_size}px (config.json); it cannot be "
+                f"served at {image_size}px. Drop --image-size (the size "
+                "comes from the checkpoint), or use a weights dir without "
+                "config.json to force an architecture.")
         if cfg.text_encoder.vocab_size != vocab_size:
             cfg = dataclasses.replace(
                 cfg, text_encoder=dataclasses.replace(

@@ -195,10 +195,11 @@ class TestCheckpointRoundTrip:
 
 
 class TestResolveInferenceConfig:
-    def test_override_replaces_only_image_size(self, tmp_path):
-        """An explicit --image-size must not discard the rest of the
-        persisted config — a non-default-width (n_channels) checkpoint
-        would fail restore against the rebuilt default (review finding)."""
+    def test_override_validated_against_trained_size(self, tmp_path):
+        """An explicit --image-size must neither discard the persisted
+        config (a non-default-width checkpoint would fail restore against
+        the rebuilt default) nor silently accept a size the weights cannot
+        restore into (review findings, two rounds)."""
         import dataclasses
 
         from gan_codes_tpu.config import GANConfig
@@ -211,11 +212,13 @@ class TestResolveInferenceConfig:
         same = mgr.resolve_inference_config(vocab_size=20, image_size=16)
         assert same == cfg  # size-matching override is a no-op
 
-        bigger = mgr.resolve_inference_config(vocab_size=20, image_size=32)
-        assert bigger.generator.n_channels == 4  # preserved
-        assert bigger.generator.image_size == 32
-        assert bigger.discriminator.image_size == 32
-        assert bigger.data.image_size == 32
+        # a DIFFERENT size cannot restore (the block ladder derives from
+        # image_size) -> clean error naming the trained size, not a deep
+        # Orbax tree mismatch
+        import pytest
+
+        with pytest.raises(ValueError, match="trained at\n?.*16px|16px"):
+            mgr.resolve_inference_config(vocab_size=20, image_size=32)
 
         vocab = mgr.resolve_inference_config(vocab_size=77)
         assert vocab.text_encoder.vocab_size == 77

@@ -205,3 +205,22 @@ class TestSamplerDP:
 
         with pytest.raises(ValueError, match="divisible"):
             Sampler(cfg, g, te, batch_size=6, mesh=make_mesh())
+
+    def test_dp_throughput_runs_sharded(self):
+        """throughput() on a mesh Sampler must benchmark the sharded
+        pipeline (review finding: an unsharded jit silently measured
+        replicated compute)."""
+        from gan_codes_tpu.parallel import make_mesh
+
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16,
+                                      sentence_dim=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16,
+                                              sentence_dim=16),
+            text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                           hidden_dim=16, max_len=6),
+        )
+        g = jax.jit(lambda k: init_generator(k, cfg.generator))(KEY)
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+        s = Sampler(cfg, g, te, batch_size=8, mesh=make_mesh())
+        assert s.throughput(n_batches=2) > 0

@@ -222,7 +222,11 @@ def validate_weights_dir(weights_dir: str, n: int = 4) -> None:
         _check("weights-dir export/forward parity", False,
                f"{weights_dir}/config.json missing")
         return
-    tree, epoch = mgr.restore_generator_tree(cfg.generator)
+    try:
+        tree, epoch = mgr.restore_generator_tree(cfg.generator)
+    except FileNotFoundError as e:
+        _check("weights-dir export/forward parity", False, str(e))
+        return
     sd = export_generator_state_dict(tree["g_params"])
 
     g = np.random.default_rng(0)

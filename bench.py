@@ -103,26 +103,43 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
     return batch * iters / dt
 
 
+def probe_backend(timeout_s: int = 30) -> bool:
+    """True iff the TPU backend answers within `timeout_s`.
+
+    Runs `jax.devices()` in a SUBPROCESS with a hard kill: in-process the
+    axon plugin's init burns ~25 min of internal retries before raising, and
+    signal.alarm cannot reliably interrupt it. A live relay answers in
+    seconds; a hang past ~30s means down (memory: 10h+ outages observed).
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0:
+            return True
+        print(f"[bench] probe rc={r.returncode}: {r.stderr[-400:]}",
+              file=sys.stderr)
+        return False
+    except subprocess.TimeoutExpired:
+        print(f"[bench] probe timed out after {timeout_s}s", file=sys.stderr)
+        return False
+
+
 def main():
-    # Up-front backend probe: through the relay a dead backend takes ~25 min
-    # of plugin-internal retries to raise, so probing ONCE and bailing turns
-    # a 2h+ all-candidates failure path into one probe. The second attempt
-    # (after 5 min) gives a transient relay outage a chance to clear.
-    for attempt in (1, 2):
-        try:
-            print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-            break
-        except Exception as e:
-            print(f"[bench] backend probe {attempt} failed: {e}",
-                  file=sys.stderr)
-            if attempt == 1:
-                time.sleep(300)
-    else:
+    # Up-front backend probe, bounded so the TOTAL failure path fits inside
+    # the driver's window (<60s): 30s probe + 15s backoff + 10s reprobe.
+    # Round-3 lesson (BENCH_r03.json rc=124): the old in-process probe could
+    # itself hang in the plugin's ~25-min retry loop and the error JSON never
+    # printed before the driver killed the run.
+    if not (probe_backend(30) or (time.sleep(15) or probe_backend(10))):
         print(json.dumps({"metric": "images_per_sec_per_chip_256px_train_step",
                           "value": 0.0, "unit": "images/sec/chip",
                           "vs_baseline": 0.0,
                           "error": "TPU backend unavailable"}))
         return
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     results = {}
     # Reference-semantics configs only; the headline is the best of these.

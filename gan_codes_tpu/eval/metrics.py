@@ -248,10 +248,28 @@ def allreduce_moments(tree):
     """Sum every moment leaf across JAX processes. Collective: every process
     must call it with the same tree structure. fp64 fidelity requires the
     x64 context (without it the gather silently truncates to fp32 and the
-    outer-product sums lose the precision FID needs)."""
+    outer-product sums lose the precision FID needs).
+
+    TPU backends have no native f64 — a device-side f64 gather may be
+    silently demoted — so there the leaves travel as hi/lo f32 pairs
+    (two-float split: hi = f32(x), lo = f32(x - hi) carries the bits hi
+    dropped) and are recombined in f64 on the host. Validated against the
+    f64 path in tests/test_metrics.py."""
     if jax.process_count() == 1:
         return tree
     from jax.experimental import multihost_utils
+
+    if jax.default_backend() == "tpu":
+        leaves, treedef = jax.tree.flatten(tree)
+        f64 = [np.asarray(x, np.float64) for x in leaves]
+        hi = [x.astype(np.float32) for x in f64]
+        lo = [(x - h.astype(np.float64)).astype(np.float32)
+              for x, h in zip(f64, hi)]
+        g = multihost_utils.process_allgather({"hi": hi, "lo": lo})
+        summed = [np.asarray(h, np.float64).sum(axis=0)
+                  + np.asarray(l, np.float64).sum(axis=0)
+                  for h, l in zip(g["hi"], g["lo"])]
+        return jax.tree.unflatten(treedef, summed)
 
     with jax.enable_x64():
         stacked = multihost_utils.process_allgather(tree)

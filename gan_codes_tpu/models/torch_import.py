@@ -299,9 +299,22 @@ def _adam_moments(opt_sd: Dict, model_sd: Dict, convert_fn):
     state = opt_sd.get("state", {})
     if not state:
         return None  # optimizer never stepped; keep a fresh init
-    mu = convert_fn({k: state[i]["exp_avg"] for k, i in zip(keys, ids)})
-    nu = convert_fn({k: state[i]["exp_avg_sq"] for k, i in zip(keys, ids)})
-    count = int(state[ids[0]]["step"])
+    # torch creates per-param Adam state lazily on first grad: a param that
+    # never received a gradient has NO entry. Substitute zero moments (what
+    # torch itself would initialize on that param's first future step) and
+    # say which params were fresh rather than dying on a bare KeyError.
+    missing = [k for k, i in zip(keys, ids) if i not in state]
+    if missing:
+        print(f"[torch_import] {len(missing)} param(s) had no Adam state "
+              f"(never received a gradient); zero moments substituted: "
+              f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+
+    def moment(i, k, field):
+        return state[i][field] if i in state else model_sd[k] * 0
+
+    mu = convert_fn({k: moment(i, k, "exp_avg") for k, i in zip(keys, ids)})
+    nu = convert_fn({k: moment(i, k, "exp_avg_sq") for k, i in zip(keys, ids)})
+    count = int(next(state[i]["step"] for i in ids if i in state))
     return mu, nu, count
 
 

@@ -56,13 +56,18 @@ class Sampler:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            n_data = mesh.shape["data"]
+            axis = cfg.train.data_axis
+            if axis not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh axes {mesh.axis_names} have no "
+                    f"'{axis}' axis (cfg.train.data_axis)")
+            n_data = mesh.shape[axis]
             if batch_size % n_data:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by the mesh's "
-                    f"data axis ({n_data})")
+                    f"{axis} axis ({n_data})")
             rep = NamedSharding(mesh, PartitionSpec())
-            shard = NamedSharding(mesh, PartitionSpec("data"))
+            shard = NamedSharding(mesh, PartitionSpec(axis))
             self._shardings = (rep, shard)
             self._g_params = jax.device_put(g_params, rep)
             self._te_params = jax.device_put(text_encoder_params, rep)

@@ -249,11 +249,19 @@ class CheckpointManager:
         restore while process 0 raised, deadlocking the rest."""
         if config is None:
             return
+        from ..config import GANConfig
         if jax.process_count() == 1 or jax.process_index() == 0:
             path = self._path("config.json")
             if os.path.exists(path):
                 with open(path) as f:
                     saved = json.load(f)
+                # Round-trip the saved dict through GANConfig so fields added
+                # AFTER the checkpoint was written take their dataclass
+                # default (the semantics the old code actually ran with)
+                # instead of registering as "<absent>" mismatches. A current
+                # run that sets such a field to a non-default value is still
+                # a genuine mismatch and still raises.
+                saved = dataclasses.asdict(GANConfig.from_dict(saved))
                 lines = config_mismatches(saved, dataclasses.asdict(config))
             else:
                 lines = []

@@ -77,9 +77,12 @@ class Trainer:
         self._sample_fn = jax.jit(
             lambda g_params, noise, sents: generator_apply(
                 g_params, cfg.generator, noise, sents))
+        # params go through jit ARGUMENTS, never closure captures: captured
+        # device arrays embed as literals in the remote-compile payload
+        # (CLAUDE.md relay rule 4; serve.py's pipeline does the same).
         self._encode_fn = jax.jit(
-            lambda caps, lens: text_encoder_apply(
-                self.text_encoder_params, cfg.text_encoder, caps, lens))
+            lambda te_params, caps, lens: text_encoder_apply(
+                te_params, cfg.text_encoder, caps, lens))
         self._eval_base = jax.random.PRNGKey(seed + 1)
         # cached (test_loader, multihost, payload) for the real FID side,
         # see _cached_real_side()
@@ -146,7 +149,8 @@ class Trainer:
     def generate(self, captions, cap_lens, use_ema: bool = False,
                  noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Encode captions + run G; the `sample.py:13-18` path."""
-        sents = self._encode_fn(jnp.asarray(captions), jnp.asarray(cap_lens))
+        sents = self._encode_fn(self.text_encoder_params,
+                                jnp.asarray(captions), jnp.asarray(cap_lens))
         if noise is None:
             noise = self._fresh_noise(sents.shape[0])
         params = self.state.g_ema_params if use_ema else self.state.g_params

@@ -307,6 +307,94 @@ def sd_generator_forward(sd, cfg, noise, sent):
     return torch.tanh(x)
 
 
+# ---------------------------------------------------------------------------
+# Full-trainer trajectory oracle (VERDICT r3 item 2): the reference's exact
+# per-batch 3-phase algorithm (`src/deep_fusion_gan/model.py:163-231`) as a
+# functional-torch loop — hinge D step -> MA-GP step on the post-phase-1 D ->
+# G step against the post-GP D, with `_zero_grad` zeroing BOTH optimizers
+# before every backward, clip_grad_norm_ 5.0, and TTUR Adam. Consumed by
+# tests/test_trajectory.py, which asserts make_train_step tracks this loop
+# over multiple steps at shared weights.
+# ---------------------------------------------------------------------------
+
+def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
+                         optim_cfg, batches):
+    """Run the reference per-batch training algorithm for len(batches) steps.
+
+    batches: list of (images_nchw, sents, noise) torch tensors — the text
+    encoder is frozen in the reference (`model.py:171` detaches its output),
+    so precomputed sentence embeds are an exact substitute for running it.
+    Returns (per-step metric dicts, final G param tree, final D param tree);
+    param trees keep JAX layouts (see to_torch_tree).
+    """
+    g_params = to_torch_tree(g_params_jax, requires_grad=True)
+    d_params = to_torch_tree(d_params_jax, requires_grad=True)
+    g_leaves = [t for t in tree_leaves(g_params) if t.is_floating_point()]
+    d_leaves = [t for t in tree_leaves(d_params) if t.is_floating_point()]
+    betas = (optim_cfg.beta1, optim_cfg.beta2)
+    g_opt = torch.optim.Adam(g_leaves, lr=optim_cfg.g_lr, betas=betas,
+                             eps=optim_cfg.eps)
+    d_opt = torch.optim.Adam(d_leaves, lr=optim_cfg.d_lr, betas=betas,
+                             eps=optim_cfg.eps)
+
+    def zero_all():  # reference `_zero_grad` zeroes both optimizers
+        for t in g_leaves + d_leaves:
+            t.grad = None
+
+    metrics = []
+    for images, sents, noise in batches:
+        b = images.shape[0]
+        # One G forward per batch; the reference reuses the same fake_images
+        # tensor across the D and G phases (`model.py:182,214`).
+        fake = generator(g_params, gen_cfg, noise, sents)
+
+        # -- phase 1: D hinge with the shift-by-one mismatch (`:173-197`)
+        real_embeds = discriminator_embeds(d_params, images)
+        real_logits = discriminator_logits(d_params, real_embeds, sents)
+        d_loss_real = F.relu(1.0 - real_logits).mean()
+        mism = discriminator_logits(d_params, real_embeds[: b - 1],
+                                    sents[1:b])
+        d_loss_mism = F.relu(1.0 + mism).mean()
+        fake_logits = discriminator_logits(
+            d_params, discriminator_embeds(d_params, fake.detach()), sents)
+        d_loss_fake = F.relu(1.0 + fake_logits).mean()
+        d_loss = d_loss_real + (d_loss_fake + d_loss_mism) / 2.0
+        zero_all()
+        d_loss.backward()
+        torch.nn.utils.clip_grad_norm_(d_leaves, optim_cfg.grad_clip_d)
+        d_opt.step()
+
+        # -- phase 2: MA-GP on the post-phase-1 D (`:202-210` via `:59-85`)
+        img_v = images.clone().requires_grad_()
+        sent_v = sents.clone().requires_grad_()
+        logits = discriminator_logits(
+            d_params, discriminator_embeds(d_params, img_v), sent_v)
+        gi, gs = torch.autograd.grad(logits, (img_v, sent_v),
+                                     torch.ones_like(logits),
+                                     create_graph=True)
+        flat = torch.cat([gi.reshape(b, -1), gs.reshape(b, -1)], 1)
+        norm = torch.clamp(torch.sqrt((flat ** 2).sum(1) + loss_cfg.gp_eps),
+                           0, loss_cfg.gp_norm_clip)
+        gp_loss = loss_cfg.gp_coef * (norm ** loss_cfg.gp_power).mean()
+        zero_all()
+        gp_loss.backward()
+        torch.nn.utils.clip_grad_norm_(d_leaves, optim_cfg.grad_clip_d)
+        d_opt.step()
+
+        # -- phase 3: G step against the post-GP D, same fake (`:214-228`)
+        fake_logits3 = discriminator_logits(
+            d_params, discriminator_embeds(d_params, fake), sents)
+        g_loss = -fake_logits3.mean()
+        zero_all()
+        g_loss.backward()
+        torch.nn.utils.clip_grad_norm_(g_leaves, optim_cfg.grad_clip_g)
+        g_opt.step()
+
+        metrics.append({"d_loss": d_loss.item(), "d_gp_loss": gp_loss.item(),
+                        "g_loss": g_loss.item()})
+    return metrics, g_params, d_params
+
+
 def sd_res_block_d(sd, p, x):
     h = F.leaky_relu(F.conv2d(x, sd[f"{p}.residual_conv.0.weight"], None,
                               stride=2, padding=1), 0.2)

@@ -20,7 +20,7 @@ from gan_codes_tpu.train.checkpoint import CheckpointManager
 from gan_codes_tpu.utils import image_io
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--weights", required=True, help="gen_weights dir")
@@ -28,7 +28,7 @@ def main():
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--out", default="eval_out")
     p.add_argument("--caption", default="this bird has a red beak and a white belly")
-    a = p.parse_args()
+    a = p.parse_args(argv)
 
     code2word, word2code = load_vocab(a.data)
     cfg = GANConfig.for_image_size(a.image_size, vocab_size=len(code2word))

@@ -12,8 +12,8 @@ from gan_codes_tpu.train_entry import train
 from gan_codes_tpu.utils.plotting import plot_losses, plot_metrics
 
 
-def main():
-    work = tempfile.mkdtemp(prefix="dfgan_example_")
+def main(work: str = None):
+    work = work or tempfile.mkdtemp(prefix="dfgan_example_")
     data_dir = os.path.join(work, "data")
     info = make_synthetic_cub(data_dir, n_train=8, n_test=4, image_size=48)
     print(f"Synthetic dataset: {info}")
@@ -32,6 +32,7 @@ def main():
     plot_metrics(histories["fid_scores"], histories["is_scores"],
                  path_save=os.path.join(work, "metrics.png"))
     print(f"Artifacts in {work}")
+    return work
 
 
 if __name__ == "__main__":

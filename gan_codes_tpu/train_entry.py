@@ -33,7 +33,7 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           xla_vmem_kib: Optional[int] = None,
           matmul_precision: Optional[str] = None,
           compile_cache_dir: Optional[str] = None,
-          n_channels: int = 32):
+          n_channels: int = 32, eval_augment: bool = False):
     import jax
 
     if compile_cache_dir:
@@ -78,7 +78,10 @@ def train(data_path: str, encoder_weights_path: Optional[str],
 
     data_cfg = DataConfig(data_dir=data_path, image_size=image_size)
     train_ds = CUBDataset(data_cfg, "train")
-    test_ds = CUBDataset(data_cfg, "test", augment=False)
+    # The reference applies RandomCrop/Flip to the TEST loader too
+    # (`src/utils.py:13-24`); deterministic eval is the better-practice
+    # default here, --eval-augment reproduces the reference protocol.
+    test_ds = CUBDataset(data_cfg, "test", augment=eval_augment)
     print(f"Test set size: {len(test_ds)} images")
 
     cfg = GANConfig.for_image_size(
@@ -161,6 +164,11 @@ def main():
                         "(0.0 = the reference's logged-only quirk)")
     p.add_argument("--eval-ema", action="store_true",
                    help="evaluate + sample with the EMA generator")
+    p.add_argument("--eval-augment", action="store_true",
+                   help="apply train-time RandomCrop/Flip augmentation to "
+                        "the test loader too, reproducing the reference's "
+                        "eval protocol (src/utils.py:13-24); default is "
+                        "deterministic eval")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="save the Orbax checkpoint every N epochs (1 = the "
                         "reference's every-epoch saves; a crash replays at "
@@ -205,7 +213,7 @@ def main():
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
           remat_g=a.remat_g, ckpt_every=a.ckpt_every,
           xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
-          compile_cache_dir=a.compile_cache)
+          compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment)
 
 
 if __name__ == "__main__":

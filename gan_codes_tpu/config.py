@@ -91,6 +91,15 @@ class DiscriminatorConfig:
     sentence_dim: int = 256
     image_size: int = 256
     final_size: int = 4
+    # Zero-pad D's narrow conv channels up to this many MXU lanes at apply
+    # time (0 = off). The v5e MXU is 128 lanes wide; DF-GAN's front blocks
+    # (Cout 32/64 at 256^2/128^2) run at ~half the full-width conv rate
+    # (artifacts/trace_r3_postfold/WALL.md: 64 vs 164 TF/s). Padding is
+    # EXACT math — pad lanes carry zeros through conv/lrelu/pool (zero
+    # kernels in, zero cotangents back; tests/test_parity.py pins it) — and
+    # touches no param/checkpoint shapes (weights are padded inside the
+    # traced fn). Perf A/B, not semantics: measure before enabling.
+    lane_pad: int = 0
 
     @property
     def n_down_blocks(self) -> int:
@@ -258,12 +267,15 @@ class GANConfig:
                        vocab_size: int = 5450,
                        loss_overrides: Optional[dict] = None,
                        generator_overrides: Optional[dict] = None,
+                       discriminator_overrides: Optional[dict] = None,
                        **train_overrides) -> "GANConfig":
         return GANConfig(
             generator=GeneratorConfig(n_channels=n_channels,
                                       image_size=image_size,
                                       **(generator_overrides or {})),
-            discriminator=DiscriminatorConfig(n_channels=n_channels, image_size=image_size),
+            discriminator=DiscriminatorConfig(
+                n_channels=n_channels, image_size=image_size,
+                **(discriminator_overrides or {})),
             text_encoder=TextEncoderConfig(vocab_size=vocab_size),
             loss=LossConfig(**loss_overrides) if loss_overrides else LossConfig(),
             train=TrainConfig(**train_overrides) if train_overrides else TrainConfig(),

@@ -44,12 +44,24 @@ def init_discriminator(key: jax.Array, cfg: DiscriminatorConfig,
     }
 
 
-def discriminator_embeds(params: Params, image: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, 3] -> [B, 4, 4, embed_channels]."""
-    x = nn.conv2d(params["conv_stem"], image, stride=1, padding=1)
+def discriminator_embeds(params: Params, image: jnp.ndarray,
+                         lane_pad: int = 0) -> jnp.ndarray:
+    """[B, H, W, 3] -> [B, 4, 4, embed_channels].
+
+    lane_pad > 0 (DiscriminatorConfig.lane_pad) zero-pads the narrow front
+    convs to >= lane_pad MXU lanes at trace time — exact math (see
+    nn.lane_pad_params), unchanged param/checkpoint shapes. The returned
+    embeds are sliced back to their real width, so downstream logits and
+    losses are untouched."""
+    stem = params["conv_stem"]
+    if lane_pad:
+        stem = nn.lane_pad_params(stem, image.shape[-1],
+                                  max(stem["w"].shape[3], lane_pad))
+    x = nn.conv2d(stem, image, stride=1, padding=1)
     for block_params in params["blocks"]:
-        x = blocks.res_block_d(block_params, x)
-    return x
+        x = blocks.res_block_d(block_params, x, lane_pad)
+    real = params["blocks"][-1]["conv_2"]["w"].shape[3]
+    return x[..., :real] if x.shape[-1] != real else x
 
 
 def discriminator_logits(params: Params, image_embed: jnp.ndarray,

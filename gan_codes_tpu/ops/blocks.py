@@ -150,10 +150,21 @@ def init_res_block_d(key: jax.Array, in_ch: int, out_ch: int,
     return p
 
 
-def res_block_d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    h = nn.conv2d(params["conv_1"], x, stride=2, padding=1)
+def res_block_d(params: Params, x: jnp.ndarray,
+                lane_pad: int = 0) -> jnp.ndarray:
+    """lane_pad > 0 widens this block's convs to >= lane_pad MXU lanes with
+    exact zero-padding (DiscriminatorConfig.lane_pad); `x` may already carry
+    zero pad lanes from the previous block — the kernels' Cin is padded to
+    match."""
+    w1 = params["conv_1"]["w"]
+    out_real = w1.shape[3]
+    cin = x.shape[-1]
+    cout = max(out_real, lane_pad)
+    conv_1 = nn.lane_pad_params(params["conv_1"], cin, cout)
+    conv_2 = nn.lane_pad_params(params["conv_2"], cout, cout)
+    h = nn.conv2d(conv_1, x, stride=2, padding=1)
     h = nn.leaky_relu(h)
-    h = nn.conv2d(params["conv_2"], h, stride=1, padding=1)
+    h = nn.conv2d(conv_2, h, stride=1, padding=1)
     h = nn.leaky_relu(h)
 
     # The reference computes avg_pool(conv1x1(x) + bias) (`src/discriminator/
@@ -172,7 +183,10 @@ def res_block_d(params: Params, x: jnp.ndarray) -> jnp.ndarray:
         w1 = params["shortcut_conv"]["w"]  # [1, 1, in_ch, out_ch]
         folded = dict(params["shortcut_conv"],
                       w=jnp.broadcast_to(w1 / 4.0, (2, 2) + w1.shape[2:]))
+        folded = nn.lane_pad_params(folded, cin, cout)
         shortcut = nn.conv2d(folded, x, stride=2, padding=0)
     else:
+        # identity branch: in_ch == out_ch, so padded widths match too and
+        # the pool carries the zero pad lanes through unchanged
         shortcut = nn.avg_pool2d(x, 2)
     return shortcut + params["gamma"].astype(x.dtype) * h

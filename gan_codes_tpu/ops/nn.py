@@ -86,6 +86,29 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int = 1,
     return y
 
 
+def lane_pad_params(params: Params, cin: int, cout: int) -> Params:
+    """Zero-pad a conv param dict to kernel [kh, kw, cin, cout] (+ bias).
+
+    Exact math for MXU lane widening (DiscriminatorConfig.lane_pad): padded
+    INPUT channels multiply zero kernel taps (x*0 accumulates exactly), and
+    padded OUTPUT channels are produced by all-zero kernels/bias, so they
+    carry exact zeros through conv/LeakyReLU/avg-pool chains; in the
+    backward, the pad's VJP slices the cotangent back, and the cotangent on
+    pad lanes is itself zero (it flows only through the next layer's zero
+    pad-kernels). Happens INSIDE the traced function — parameter trees,
+    optimizer state, and checkpoints keep their real shapes.
+    """
+    w = params["w"]
+    ci, co = w.shape[2], w.shape[3]
+    if ci == cin and co == cout:
+        return params
+    out = dict(params,
+               w=jnp.pad(w, ((0, 0), (0, 0), (0, cin - ci), (0, cout - co))))
+    if "b" in params:
+        out["b"] = jnp.pad(params["b"], (0, cout - co))
+    return out
+
+
 def conv3x3_on_upsampled(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """== conv2d(params, upsample_nearest_2x(x), stride=1, padding=1), exactly.
 

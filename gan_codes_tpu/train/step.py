@@ -58,6 +58,11 @@ def make_train_step(cfg: GANConfig):
     gen_cfg, te_cfg, loss_cfg = cfg.generator, cfg.text_encoder, cfg.loss
     cdtype = cfg.train.compute_jnp_dtype
     ema_decay = cfg.train.ema_decay
+    # MXU lane widening for D's narrow front convs (exact math, perf A/B —
+    # DiscriminatorConfig.lane_pad). 0 = reference-shaped convs.
+    d_embeds = (discriminator_embeds if not cfg.discriminator.lane_pad
+                else functools.partial(discriminator_embeds,
+                                       lane_pad=cfg.discriminator.lane_pad))
     # Lazy regularization (LossConfig.gp_interval): the penalty phase runs
     # every k-th step with coefficient scaled by k (StyleGAN2-style equal
     # time-averaged pressure); k=1 (default) is the reference's every-step
@@ -102,7 +107,7 @@ def make_train_step(cfg: GANConfig):
         # ---- Phase 1: D hinge (adversarial + mismatch) ----
         def d_loss_fn(d_params):
             return losses.d_hinge_loss(
-                discriminator_embeds, discriminator_logits,
+                d_embeds, discriminator_logits,
                 _cast(d_params, cdtype), images_c, fake_detached, sents_c
             ).astype(jnp.float32)
 
@@ -121,7 +126,7 @@ def make_train_step(cfg: GANConfig):
 
         def gp_loss_fn(d_params):
             return losses.ma_gradient_penalty(
-                discriminator_embeds, discriminator_logits,
+                d_embeds, discriminator_logits,
                 _cast(d_params, gp_dtype),
                 images.astype(gp_dtype), sents.astype(gp_dtype),
                 gp_cfg)
@@ -154,7 +159,7 @@ def make_train_step(cfg: GANConfig):
 
         def g_loss_from_fake(fake_in):
             adv = losses.g_hinge_loss(
-                discriminator_embeds, discriminator_logits, d_params_2_c,
+                d_embeds, discriminator_logits, d_params_2_c,
                 fake_in, sents_c).astype(jnp.float32)
             txtimg = losses.damsm_cosine_loss(
                 fake_in.astype(jnp.float32), sents).astype(jnp.float32)

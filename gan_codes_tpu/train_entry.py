@@ -33,7 +33,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           xla_vmem_kib: Optional[int] = None,
           matmul_precision: Optional[str] = None,
           compile_cache_dir: Optional[str] = None,
-          n_channels: int = 32, eval_augment: bool = False):
+          n_channels: int = 32, eval_augment: bool = False,
+          d_lane_pad: int = 0):
     import jax
 
     if compile_cache_dir:
@@ -90,6 +91,7 @@ def train(data_path: str, encoder_weights_path: Optional[str],
                         "gp_compute_dtype": gp_compute_dtype,
                         "gp_interval": gp_interval},
         generator_overrides={"remat_blocks": remat_g},
+        discriminator_overrides={"lane_pad": d_lane_pad},
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
         checkpoint_every_epochs=ckpt_every,
@@ -177,6 +179,11 @@ def main():
                    help="lazy regularization: run MA-GP every N steps with "
                         "the coefficient scaled by N (1 = reference "
                         "every-step semantics)")
+    p.add_argument("--d-lane-pad", type=int, default=0,
+                   help="zero-pad D's narrow convs to >= N MXU lanes at "
+                        "trace time (exact math, same checkpoints; perf "
+                        "A/B for the 32/64-lane conv wall — see PERF.md). "
+                        "0 = off")
     p.add_argument("--remat-g", action="store_true",
                    help="jax.checkpoint the G blocks: recompute modulation "
                         "chains in the backward instead of saving them")
@@ -213,7 +220,8 @@ def main():
           eval_use_ema=a.eval_ema, gp_interval=a.gp_interval,
           remat_g=a.remat_g, ckpt_every=a.ckpt_every,
           xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
-          compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment)
+          compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment,
+          d_lane_pad=a.d_lane_pad)
 
 
 if __name__ == "__main__":

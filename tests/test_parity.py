@@ -262,3 +262,100 @@ class TestTextEncoderParity:
         out = text_encoder_apply(p, cfg, jnp.zeros((2, 5), jnp.int32),
                                  jnp.array([2, 5]))
         assert out.shape == (2, 8)
+
+
+class TestLanePad:
+    """DiscriminatorConfig.lane_pad: trace-time zero-padding of D's narrow
+    convs to fuller MXU lanes must be EXACT — forwards, gradients, and a
+    whole 3-phase train step (`ops/nn.py::lane_pad_params`)."""
+
+    def _setup(self, image_size=16):
+        cfg = DiscriminatorConfig(n_channels=4, image_size=image_size,
+                                  sentence_dim=10)
+        kp, kr, ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        p = init_discriminator(kp, cfg)
+        for i, bp in enumerate(p["blocks"]):
+            bp["gamma"] = jnp.asarray(0.3 + 0.1 * i, jnp.float32)
+        imgs = jax.random.normal(kr, (3, image_size, image_size, 3))
+        sents = jax.random.normal(ks, (3, 10))
+        return cfg, p, imgs, sents
+
+    @pytest.mark.parametrize("lane_pad", [8, 16, 64])
+    def test_embeds_exact(self, lane_pad):
+        # lane_pad=8: partial (only the 4-ch layers pad); 16: all narrow
+        # layers pad; 64: wider than embed_channels, exercises the final
+        # slice back to real width.
+        _, p, imgs, _ = self._setup()
+        base = discriminator_embeds(p, imgs)
+        padded = discriminator_embeds(p, imgs, lane_pad=lane_pad)
+        assert padded.shape == base.shape
+        np.testing.assert_allclose(np.asarray(padded), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_hinge_and_gp_grads_exact(self):
+        import functools
+        from gan_codes_tpu.config import LossConfig
+        from gan_codes_tpu.train import losses
+
+        _, p, imgs, sents = self._setup()
+        fake = jax.random.normal(jax.random.PRNGKey(8), imgs.shape)
+        padded_embeds = functools.partial(discriminator_embeds, lane_pad=16)
+
+        def hinge(embeds_fn, dp):
+            return losses.d_hinge_loss(embeds_fn, discriminator_logits, dp,
+                                       imgs, fake, sents)
+
+        def gp(embeds_fn, dp):
+            return losses.ma_gradient_penalty(
+                embeds_fn, discriminator_logits, dp, imgs, sents,
+                LossConfig())
+
+        for fn in (hinge, gp):
+            v0, g0 = jax.value_and_grad(
+                lambda dp: fn(discriminator_embeds, dp))(p)
+            v1, g1 = jax.value_and_grad(lambda dp: fn(padded_embeds, dp))(p)
+            np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, rtol=1e-4)
+
+    def test_full_train_step_exact(self):
+        import dataclasses
+        from gan_codes_tpu.models.text_encoder import init_text_encoder
+        from gan_codes_tpu.train.state import create_train_state
+        from gan_codes_tpu.train.step import make_train_step
+
+        def mk(lane_pad):
+            return GANConfig(
+                generator=GeneratorConfig(n_channels=4, image_size=16),
+                discriminator=DiscriminatorConfig(n_channels=4,
+                                                  image_size=16,
+                                                  lane_pad=lane_pad),
+                text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                               hidden_dim=256, max_len=6),
+            )
+
+        te = init_text_encoder(jax.random.PRNGKey(1), mk(0).text_encoder)
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        finals = []
+        for lane_pad in (0, 16):
+            cfg = mk(lane_pad)
+            state = create_train_state(KEY, cfg)
+            step = jax.jit(make_train_step(cfg))
+            for _ in range(2):
+                state, m = step(state, te, images, caps, lens)
+            finals.append((state, m))
+        (s0, m0), (s1, m1) = finals
+        for k in m0:
+            np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-5,
+                                       err_msg=k)
+        for a, b in zip(jax.tree.leaves(s1.d_params),
+                        jax.tree.leaves(s0.d_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.g_params),
+                        jax.tree.leaves(s0.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)

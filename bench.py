@@ -31,6 +31,7 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
                image_size: int = 256, gp_dtype: str = "float32",
                generator_overrides: dict | None = None,
                loss_overrides: dict | None = None,
+               discriminator_overrides: dict | None = None,
                xla_vmem_kib: int | None = None) -> float:
     """Time `iters` train steps rolled into ONE device program via lax.scan.
 
@@ -57,7 +58,8 @@ def bench_step(compute_dtype: str, batch: int, iters: int = 10,
     cfg = GANConfig.for_image_size(image_size, batch_size=batch,
                                    compute_dtype=compute_dtype,
                                    generator_overrides=generator_overrides,
-                                   loss_overrides=loss_overrides)
+                                   loss_overrides=loss_overrides,
+                                   discriminator_overrides=discriminator_overrides)
     if gp_dtype != "float32":
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, gp_compute_dtype=gp_dtype))

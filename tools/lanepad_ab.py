@@ -1,0 +1,70 @@
+"""A/B DiscriminatorConfig.lane_pad on the full train step (VERDICT r4 #3).
+
+The post-fold device trace (artifacts/trace_r3_postfold/WALL.md) puts 50.4%
+of the bf16-bs128 step (112.9 ms) in convs whose minor/lane dim is 32 or 64,
+running at ~64 TF/s vs ~164 for full-width convs in the SAME program.
+lane_pad zero-pads D's narrow conv channels to >= N MXU lanes at trace time
+(exact math — pinned by tests/test_parity.py::TestLanePad).
+
+Roofline expectation: a 64-lane conv padded to 128 does 2x the FLOPs at the
+full-width rate — 2/164 vs 1/64.3 time-per-useful-TFLOP, ~22% faster IF the
+padded conv reaches the full-width rate and HBM traffic (2x activations on
+those layers) doesn't bite first. A 32-lane conv padded to 128 does 4x the
+FLOPs — likely a LOSS (4/164 > 1/64.3); pad 64 only widens the 32-lane
+layers to 64, a separate point on the curve. Hence three arms per operating
+point: 0 (baseline), 64, 128.
+
+Timing per CLAUDE.md relay rules via bench.bench_step (one scan-rolled
+dispatch, value-fetch sync). Usage: python tools/lanepad_ab.py [--iters 10]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pads", default="0,64,128")
+    ap.add_argument("--points", default="bf16_bs128,fp32_bs24",
+                    help="comma list of operating points to sweep")
+    a = ap.parse_args()
+
+    import bench
+
+    points = {
+        # headline point: bf16 bs128, bf16 GP, scoped-VMEM hint
+        "bf16_bs128": dict(compute_dtype="bfloat16", batch=128,
+                           gp_dtype="bfloat16", xla_vmem_kib=65536),
+        # the reference operating point (narrow convs are a larger share)
+        "fp32_bs24": dict(compute_dtype="float32", batch=24,
+                          gp_dtype="float32"),
+    }
+
+    results = {}
+    for point in a.points.split(","):
+        kw = points[point]
+        for pad in (int(p) for p in a.pads.split(",")):
+            label = f"{point}_pad{pad}"
+            try:
+                ips = bench.bench_step(
+                    iters=a.iters,
+                    discriminator_overrides=(
+                        {"lane_pad": pad} if pad else None),
+                    **kw)
+                results[label] = round(ips, 2)
+                print(f"[lanepad_ab] {label}: {ips:.2f} img/s", flush=True)
+            except Exception as e:
+                print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
+                results[label] = None
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,10 @@ class DiscriminatorConfig:
     # touches no param/checkpoint shapes (weights are padded inside the
     # traced fn). Perf A/B, not semantics: measure before enabling.
     lane_pad: int = 0
+    # Only pad convs whose real Cout >= this (roofline: padding 64->128
+    # doubles FLOPs at ~2.5x the rate = a win; padding 32->128 quadruples
+    # them = likely a loss; 0 pads every narrow conv).
+    lane_pad_min_ch: int = 0
 
     @property
     def n_down_blocks(self) -> int:

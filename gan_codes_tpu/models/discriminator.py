@@ -45,21 +45,24 @@ def init_discriminator(key: jax.Array, cfg: DiscriminatorConfig,
 
 
 def discriminator_embeds(params: Params, image: jnp.ndarray,
-                         lane_pad: int = 0) -> jnp.ndarray:
+                         lane_pad: int = 0,
+                         lane_pad_min_ch: int = 0) -> jnp.ndarray:
     """[B, H, W, 3] -> [B, 4, 4, embed_channels].
 
     lane_pad > 0 (DiscriminatorConfig.lane_pad) zero-pads the narrow front
     convs to >= lane_pad MXU lanes at trace time — exact math (see
-    nn.lane_pad_params), unchanged param/checkpoint shapes. The returned
-    embeds are sliced back to their real width, so downstream logits and
-    losses are untouched."""
+    nn.lane_pad_params), unchanged param/checkpoint shapes; layers with real
+    Cout < lane_pad_min_ch keep their natural width. The returned embeds are
+    sliced back to their real width, so downstream logits and losses are
+    untouched."""
     stem = params["conv_stem"]
-    if lane_pad:
+    stem_out = stem["w"].shape[3]
+    if lane_pad and stem_out >= lane_pad_min_ch:
         stem = nn.lane_pad_params(stem, image.shape[-1],
-                                  max(stem["w"].shape[3], lane_pad))
+                                  max(stem_out, lane_pad))
     x = nn.conv2d(stem, image, stride=1, padding=1)
     for block_params in params["blocks"]:
-        x = blocks.res_block_d(block_params, x, lane_pad)
+        x = blocks.res_block_d(block_params, x, lane_pad, lane_pad_min_ch)
     real = params["blocks"][-1]["conv_2"]["w"].shape[3]
     return x[..., :real] if x.shape[-1] != real else x
 

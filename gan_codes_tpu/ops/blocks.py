@@ -150,16 +150,18 @@ def init_res_block_d(key: jax.Array, in_ch: int, out_ch: int,
     return p
 
 
-def res_block_d(params: Params, x: jnp.ndarray,
-                lane_pad: int = 0) -> jnp.ndarray:
+def res_block_d(params: Params, x: jnp.ndarray, lane_pad: int = 0,
+                lane_pad_min_ch: int = 0) -> jnp.ndarray:
     """lane_pad > 0 widens this block's convs to >= lane_pad MXU lanes with
     exact zero-padding (DiscriminatorConfig.lane_pad); `x` may already carry
     zero pad lanes from the previous block — the kernels' Cin is padded to
-    match."""
+    match. Blocks whose real Cout < lane_pad_min_ch keep their natural
+    output width (the padding-FLOP overhead outweighs the lane gain on the
+    narrowest layers — see the config docstring's roofline note)."""
     w1 = params["conv_1"]["w"]
     out_real = w1.shape[3]
     cin = x.shape[-1]
-    cout = max(out_real, lane_pad)
+    cout = max(out_real, lane_pad) if out_real >= lane_pad_min_ch else out_real
     conv_1 = nn.lane_pad_params(params["conv_1"], cin, cout)
     conv_2 = nn.lane_pad_params(params["conv_2"], cout, cout)
     h = nn.conv2d(conv_1, x, stride=2, padding=1)

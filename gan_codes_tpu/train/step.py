@@ -61,8 +61,10 @@ def make_train_step(cfg: GANConfig):
     # MXU lane widening for D's narrow front convs (exact math, perf A/B —
     # DiscriminatorConfig.lane_pad). 0 = reference-shaped convs.
     d_embeds = (discriminator_embeds if not cfg.discriminator.lane_pad
-                else functools.partial(discriminator_embeds,
-                                       lane_pad=cfg.discriminator.lane_pad))
+                else functools.partial(
+                    discriminator_embeds,
+                    lane_pad=cfg.discriminator.lane_pad,
+                    lane_pad_min_ch=cfg.discriminator.lane_pad_min_ch))
     # Lazy regularization (LossConfig.gp_interval): the penalty phase runs
     # every k-th step with coefficient scaled by k (StyleGAN2-style equal
     # time-averaged pressure); k=1 (default) is the reference's every-step

@@ -359,3 +359,25 @@ class TestLanePad:
                         jax.tree.leaves(s0.g_params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-5)
+
+    def test_min_ch_threshold_exact_and_selective(self):
+        """lane_pad_min_ch: layers below the threshold keep natural width
+        (check via the padded stem's traced output shape) and values stay
+        exact."""
+        _, p, imgs, _ = self._setup()
+        base = discriminator_embeds(p, imgs)
+        got = discriminator_embeds(p, imgs, lane_pad=16, lane_pad_min_ch=8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+        # stem Cout=4 < 8: must NOT pad; block Couts 8 and 16: pad to 16.
+        from gan_codes_tpu.ops import nn as nn_ops
+        stem_padded = nn_ops.lane_pad_params(p["conv_stem"], 3, 4)
+        assert stem_padded is p["conv_stem"]  # no-op path returns the dict
+        text = str(jax.make_jaxpr(
+            lambda pp: discriminator_embeds(pp, imgs, lane_pad=16,
+                                            lane_pad_min_ch=8))(p))
+        assert "f32[3,16,16,4]" in text, "stem Cout must stay 4 (below min)"
+        assert "f32[3,8,8,16]" in text, "block-1 Cout 8 must pad to 16"
+        full = str(jax.make_jaxpr(
+            lambda pp: discriminator_embeds(pp, imgs, lane_pad=16))(p))
+        assert "f32[3,16,16,16]" in full, "min_ch=0 must pad the stem too"

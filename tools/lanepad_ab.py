@@ -31,7 +31,9 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--pads", default="0,64,128")
+    ap.add_argument("--pads", default="0,64,128,128:64",
+                    help="comma list of pad[:min_ch] arms; 128:64 pads only "
+                         "layers with real Cout >= 64 up to 128 lanes")
     ap.add_argument("--points", default="bf16_bs128,fp32_bs24",
                     help="comma list of operating points to sweep")
     a = ap.parse_args()
@@ -50,13 +52,16 @@ def main():
     results = {}
     for point in a.points.split(","):
         kw = points[point]
-        for pad in (int(p) for p in a.pads.split(",")):
-            label = f"{point}_pad{pad}"
+        for arm in a.pads.split(","):
+            pad, _, min_ch = arm.partition(":")
+            pad, min_ch = int(pad), int(min_ch or 0)
+            label = f"{point}_pad{pad}" + (f"min{min_ch}" if min_ch else "")
             try:
                 ips = bench.bench_step(
                     iters=a.iters,
                     discriminator_overrides=(
-                        {"lane_pad": pad} if pad else None),
+                        {"lane_pad": pad, "lane_pad_min_ch": min_ch}
+                        if pad else None),
                     **kw)
                 results[label] = round(ips, 2)
                 print(f"[lanepad_ab] {label}: {ips:.2f} img/s", flush=True)

@@ -53,6 +53,13 @@ class GeneratorConfig:
     # trades cheap VPU recompute for the backward's dominant HBM traffic
     # (G bwd measured ~3.2x G fwd without it; see tools/phase_bench.py).
     remat_blocks: bool = False
+    # MXU lane widening for the ladder's narrow tail (64/32-ch blocks at
+    # 128^2/256^2): zero-pad conv channels to >= lane_pad lanes at trace
+    # time. Exact math, unchanged checkpoints — same contract as
+    # DiscriminatorConfig.lane_pad (see its docstring); layers with real
+    # Cout < lane_pad_min_ch keep natural width. Bypasses the Pallas path.
+    lane_pad: int = 0
+    lane_pad_min_ch: int = 0
 
     @property
     def n_up_blocks(self) -> int:

@@ -48,9 +48,13 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
     x = x.reshape(b, cfg.seed_channels, cfg.base_size, cfg.base_size)
     x = jnp.transpose(x, (0, 2, 3, 1))
 
+    # MXU lane widening for the ladder's narrow tail (exact math, perf A/B —
+    # GeneratorConfig.lane_pad; see DiscriminatorConfig.lane_pad for the
+    # contract). Bypasses the Pallas fused path when active.
+    lp = dict(lane_pad=cfg.lane_pad, lane_pad_min_ch=cfg.lane_pad_min_ch)
     block_fn = functools.partial(blocks.res_block_g,
-                                 use_pallas=cfg.use_pallas)
-    up_block_fn = blocks.res_block_g_up
+                                 use_pallas=cfg.use_pallas, **lp)
+    up_block_fn = functools.partial(blocks.res_block_g_up, **lp)
     if cfg.remat_blocks:
         # Recompute each block's elementwise modulation chains in the
         # backward instead of saving them to HBM; conv outputs (the expensive
@@ -76,7 +80,13 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
             x = block_fn(block_params, x, sentence_embed)
 
     x = nn.leaky_relu(x)
-    x = nn.conv2d(params["conv_out"], x, stride=1, padding=1)
+    conv_out = params["conv_out"]
+    if x.shape[-1] != conv_out["w"].shape[2]:
+        # lane-padded ladder output: widen conv_out's Cin to match (Cout
+        # stays 3 — the image never pads)
+        conv_out = nn.lane_pad_params(conv_out, x.shape[-1],
+                                      conv_out["w"].shape[3])
+    x = nn.conv2d(conv_out, x, stride=1, padding=1)
     return jnp.tanh(x)
 
 

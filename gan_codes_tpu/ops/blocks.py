@@ -49,14 +49,31 @@ def init_res_block_g(key: jax.Array, in_ch: int, out_ch: int,
     return p
 
 
+def _g_cout(conv: Params, lane_pad: int, lane_pad_min_ch: int) -> int:
+    """Padded output width for a G conv under GeneratorConfig.lane_pad."""
+    out_real = conv["w"].shape[3]
+    if lane_pad and out_real >= lane_pad_min_ch:
+        return max(out_real, lane_pad)
+    return out_real
+
+
 def _df_block(affine_a: Params, affine_b: Params, conv: Params,
               x: jnp.ndarray, sentence_embed: jnp.ndarray,
-              use_pallas: bool) -> jnp.ndarray:
+              use_pallas: bool, cout: int = 0) -> jnp.ndarray:
     """One DFBlock: double affine-modulation+LeakyReLU then 3x3 conv.
 
     With use_pallas, the whole block runs as the fused Pallas
     modulation+conv kernel (`ops/pallas/fused_modconv.py`) when the shape
-    qualifies, else the fused modulation kernel + XLA conv."""
+    qualifies, else the fused modulation kernel + XLA conv. `cout` > 0
+    lane-pads the conv to that output width (callers pass it only when
+    GeneratorConfig.lane_pad is active; the Pallas path is bypassed then)."""
+    if cout:
+        h = fusion.double_affine_leaky(affine_a, affine_b, x, sentence_embed,
+                                       False)
+        y = nn.conv2d(nn.lane_pad_params(conv, x.shape[-1], cout), h,
+                      stride=1, padding=1)
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(y, "conv_out")
     if use_pallas:
         from .pallas.fused_modconv import _supported, fused_modconv3x3
 
@@ -77,20 +94,36 @@ def _df_block(affine_a: Params, affine_b: Params, conv: Params,
 
 
 def res_block_g(params: Params, x: jnp.ndarray, sentence_embed: jnp.ndarray,
-                use_pallas: bool = False) -> jnp.ndarray:
+                use_pallas: bool = False, lane_pad: int = 0,
+                lane_pad_min_ch: int = 0) -> jnp.ndarray:
+    """lane_pad > 0 (GeneratorConfig.lane_pad) widens this block's convs to
+    >= lane_pad MXU lanes with exact zero-padding — same contract as the
+    discriminator's (see res_block_d); `x` may arrive pre-padded."""
+    c1 = _g_cout(params["conv_1"], lane_pad, lane_pad_min_ch) if lane_pad else 0
+    c2 = _g_cout(params["conv_2"], lane_pad, lane_pad_min_ch) if lane_pad else 0
     h = _df_block(params["affine_1"], params["affine_2"], params["conv_1"],
-                  x, sentence_embed, use_pallas)
+                  x, sentence_embed, use_pallas and not lane_pad, c1)
     h = _df_block(params["affine_3"], params["affine_4"], params["conv_2"],
-                  h, sentence_embed, use_pallas)
+                  h, sentence_embed, use_pallas and not lane_pad, c2)
 
     shortcut = x
     if "shortcut_conv" in params:
-        shortcut = nn.conv2d(params["shortcut_conv"], x, stride=1, padding=0)
+        sc = params["shortcut_conv"]
+        if lane_pad:
+            sc = nn.lane_pad_params(sc, x.shape[-1], h.shape[-1])
+        shortcut = nn.conv2d(sc, x, stride=1, padding=0)
+    elif shortcut.shape[-1] != h.shape[-1]:
+        # identity shortcut on an un-padded input (e.g. the raw seed) while
+        # the block body got lane-padded: zero-pad to match — exact
+        shortcut = jnp.pad(
+            shortcut,
+            ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - shortcut.shape[-1])))
     return shortcut + params["gamma"].astype(x.dtype) * h
 
 
 def res_block_g_up(params: Params, x_low: jnp.ndarray,
-                   sentence_embed: jnp.ndarray) -> jnp.ndarray:
+                   sentence_embed: jnp.ndarray, lane_pad: int = 0,
+                   lane_pad_min_ch: int = 0) -> jnp.ndarray:
     """== res_block_g(params, upsample_nearest_2x(x_low), sent), exactly.
 
     The generator upsamples before every block but the first (`src/generator/
@@ -111,6 +144,11 @@ def res_block_g_up(params: Params, x_low: jnp.ndarray,
     """
     from jax.ad_checkpoint import checkpoint_name
 
+    c1 = _g_cout(params["conv_1"], lane_pad, lane_pad_min_ch) if lane_pad else 0
+    c2 = _g_cout(params["conv_2"], lane_pad, lane_pad_min_ch) if lane_pad else 0
+    conv_1 = (nn.lane_pad_params(params["conv_1"], x_low.shape[-1], c1)
+              if c1 else params["conv_1"])
+
     h_low = fusion.double_affine_leaky(params["affine_1"], params["affine_2"],
                                        x_low, sentence_embed, False)
     # Measured on chip (bf16 bs128 full step): the folded sub-pixel conv
@@ -119,15 +157,21 @@ def res_block_g_up(params: Params, x_low: jnp.ndarray,
     # poorly. Upsampling the (cheap, low-res) chain output and running the
     # plain SAME conv keeps the low-res-chain/shortcut wins without that.
     h = checkpoint_name(
-        nn.conv2d(params["conv_1"], nn.upsample_nearest_2x(h_low),
+        nn.conv2d(conv_1, nn.upsample_nearest_2x(h_low),
                   stride=1, padding=1), "conv_out")
     h = _df_block(params["affine_3"], params["affine_4"], params["conv_2"],
-                  h, sentence_embed, False)
+                  h, sentence_embed, False, c2)
 
     shortcut = x_low
     if "shortcut_conv" in params:
-        shortcut = nn.conv2d(params["shortcut_conv"], x_low, stride=1,
-                             padding=0)
+        sc = params["shortcut_conv"]
+        if lane_pad:
+            sc = nn.lane_pad_params(sc, x_low.shape[-1], h.shape[-1])
+        shortcut = nn.conv2d(sc, x_low, stride=1, padding=0)
+    elif shortcut.shape[-1] != h.shape[-1]:
+        shortcut = jnp.pad(
+            shortcut,
+            ((0, 0), (0, 0), (0, 0), (0, h.shape[-1] - shortcut.shape[-1])))
     shortcut = nn.upsample_nearest_2x(shortcut)
     return shortcut + params["gamma"].astype(x_low.dtype) * h
 

@@ -86,6 +86,12 @@ def double_affine_leaky(params_a: Params, params_b: Params, x: jnp.ndarray,
     """
     g1, b1 = affine_params(params_a, sentence_embed)
     g2, b2 = affine_params(params_b, sentence_embed)
+    if x.shape[-1] != g1.shape[-1]:
+        # Lane-padded activations (GeneratorConfig.lane_pad): x carries zero
+        # pad lanes beyond the real channel count. Zero-padding gamma AND
+        # beta keeps them exact zeros through gamma*0 + 0 and LeakyReLU.
+        pad = ((0, 0), (0, x.shape[-1] - g1.shape[-1]))
+        g1, b1, g2, b2 = (jnp.pad(v, pad) for v in (g1, b1, g2, b2))
     if use_pallas:
         from .pallas.fused_affine import fused_double_affine_leaky
 

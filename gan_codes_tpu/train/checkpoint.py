@@ -41,6 +41,8 @@ CONFIG_RESUME_MUTABLE = frozenset({
     # budgets), so toggling them across a resume changes no semantics.
     "train.xla_scoped_vmem_kib",
     "generator.remat_blocks",
+    "generator.lane_pad",
+    "generator.lane_pad_min_ch",
     "discriminator.lane_pad",
     "discriminator.lane_pad_min_ch",
 })

@@ -34,7 +34,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           matmul_precision: Optional[str] = None,
           compile_cache_dir: Optional[str] = None,
           n_channels: int = 32, eval_augment: bool = False,
-          d_lane_pad: int = 0):
+          d_lane_pad: int = 0, g_lane_pad: int = 0,
+          lane_pad_min_ch: int = 0):
     import jax
 
     if compile_cache_dir:
@@ -90,8 +91,11 @@ def train(data_path: str, encoder_weights_path: Optional[str],
         loss_overrides={"damsm_weight": damsm_weight,
                         "gp_compute_dtype": gp_compute_dtype,
                         "gp_interval": gp_interval},
-        generator_overrides={"remat_blocks": remat_g},
-        discriminator_overrides={"lane_pad": d_lane_pad},
+        generator_overrides={"remat_blocks": remat_g,
+                             "lane_pad": g_lane_pad,
+                             "lane_pad_min_ch": lane_pad_min_ch},
+        discriminator_overrides={"lane_pad": d_lane_pad,
+                                 "lane_pad_min_ch": lane_pad_min_ch},
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
         checkpoint_every_epochs=ckpt_every,
@@ -184,6 +188,12 @@ def main():
                         "trace time (exact math, same checkpoints; perf "
                         "A/B for the 32/64-lane conv wall — see PERF.md). "
                         "0 = off")
+    p.add_argument("--g-lane-pad", type=int, default=0,
+                   help="same lane widening for the G ladder's narrow tail")
+    p.add_argument("--lane-pad-min-ch", type=int, default=0,
+                   help="only lane-pad convs whose real Cout >= N "
+                        "(roofline: padding 32->128 quadruples FLOPs and "
+                        "likely loses; 64->128 doubles them and should win)")
     p.add_argument("--remat-g", action="store_true",
                    help="jax.checkpoint the G blocks: recompute modulation "
                         "chains in the backward instead of saving them")
@@ -221,7 +231,8 @@ def main():
           remat_g=a.remat_g, ckpt_every=a.ckpt_every,
           xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
           compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment,
-          d_lane_pad=a.d_lane_pad)
+          d_lane_pad=a.d_lane_pad, g_lane_pad=a.g_lane_pad,
+          lane_pad_min_ch=a.lane_pad_min_ch)
 
 
 if __name__ == "__main__":

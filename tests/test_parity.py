@@ -381,3 +381,80 @@ class TestLanePad:
         full = str(jax.make_jaxpr(
             lambda pp: discriminator_embeds(pp, imgs, lane_pad=16))(p))
         assert "f32[3,16,16,16]" in full, "min_ch=0 must pad the stem too"
+
+    def test_generator_lane_pad_exact(self):
+        """GeneratorConfig.lane_pad: padded ladder forwards (both upsample
+        orders, remat on) and G grads through a D loss stay exact."""
+        import dataclasses
+        base_cfg = GeneratorConfig(n_channels=4, image_size=32)
+        kp, kn, ks = jax.random.split(jax.random.PRNGKey(12), 3)
+        p = init_generator(kp, base_cfg)
+        for i, bp in enumerate(p["blocks"]):
+            bp["gamma"] = jnp.asarray(0.3 + 0.1 * i, jnp.float32)
+        noise = jax.random.normal(kn, (3, base_cfg.latent_dim))
+        sents = jax.random.normal(ks, (3, base_cfg.sentence_dim))
+
+        want = generator_apply(p, base_cfg, noise, sents)
+        for overrides in ({"lane_pad": 16}, {"lane_pad": 16,
+                                             "lane_pad_min_ch": 8},
+                          {"lane_pad": 16, "fuse_upsample": False},
+                          {"lane_pad": 16, "remat_blocks": True}):
+            cfg = dataclasses.replace(base_cfg, **overrides)
+            got = generator_apply(p, cfg, noise, sents)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=str(overrides))
+
+        # grads through a scalar loss of the output
+        def loss(cfg):
+            return lambda pp: jnp.sum(
+                generator_apply(pp, cfg, noise, sents) ** 2)
+
+        g0 = jax.grad(loss(base_cfg))(p)
+        g1 = jax.grad(loss(dataclasses.replace(base_cfg, lane_pad=16)))(p)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_full_train_step_exact_with_g_and_d_pad(self):
+        """One jitted 3-phase step with BOTH towers lane-padded matches the
+        unpadded step."""
+        import dataclasses
+        from gan_codes_tpu.models.text_encoder import init_text_encoder
+        from gan_codes_tpu.train.state import create_train_state
+        from gan_codes_tpu.train.step import make_train_step
+
+        def mk(pad):
+            return GANConfig(
+                generator=GeneratorConfig(n_channels=4, image_size=16,
+                                          lane_pad=pad),
+                discriminator=DiscriminatorConfig(n_channels=4,
+                                                  image_size=16,
+                                                  lane_pad=pad),
+                text_encoder=TextEncoderConfig(vocab_size=30, embed_dim=8,
+                                               hidden_dim=256, max_len=6),
+            )
+
+        te = init_text_encoder(jax.random.PRNGKey(1), mk(0).text_encoder)
+        images = jax.random.normal(KEY, (4, 16, 16, 3))
+        caps = jax.random.randint(KEY, (4, 6), 1, 30)
+        lens = jnp.array([2, 6, 3, 5])
+        finals = []
+        for pad in (0, 16):
+            cfg = mk(pad)
+            state = create_train_state(KEY, cfg)
+            step = jax.jit(make_train_step(cfg))
+            for _ in range(2):
+                state, m = step(state, te, images, caps, lens)
+            finals.append((state, m))
+        (s0, m0), (s1, m1) = finals
+        for k in m0:
+            np.testing.assert_allclose(float(m1[k]), float(m0[k]), rtol=1e-5,
+                                       err_msg=k)
+        for tower in ("d_params", "g_params"):
+            for a, b in zip(jax.tree.leaves(getattr(s1, tower)),
+                            jax.tree.leaves(getattr(s0, tower))):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-6, rtol=1e-5,
+                                           err_msg=tower)

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--pads", default="0,64,128,128:64",
                     help="comma list of pad[:min_ch] arms; 128:64 pads only "
                          "layers with real Cout >= 64 up to 128 lanes")
+    ap.add_argument("--towers", default="d,gd",
+                    help="comma list per arm: d = D only, g = G only, "
+                         "gd = both towers padded")
     ap.add_argument("--points", default="bf16_bs128,fp32_bs24",
                     help="comma list of operating points to sweep")
     a = ap.parse_args()
@@ -55,19 +58,26 @@ def main():
         for arm in a.pads.split(","):
             pad, _, min_ch = arm.partition(":")
             pad, min_ch = int(pad), int(min_ch or 0)
-            label = f"{point}_pad{pad}" + (f"min{min_ch}" if min_ch else "")
-            try:
-                ips = bench.bench_step(
-                    iters=a.iters,
-                    discriminator_overrides=(
-                        {"lane_pad": pad, "lane_pad_min_ch": min_ch}
-                        if pad else None),
-                    **kw)
-                results[label] = round(ips, 2)
-                print(f"[lanepad_ab] {label}: {ips:.2f} img/s", flush=True)
-            except Exception as e:
-                print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
-                results[label] = None
+            over = {"lane_pad": pad, "lane_pad_min_ch": min_ch}
+            towers = ("-",) if pad == 0 else a.towers.split(",")
+            for tw in towers:
+                label = (f"{point}_pad{pad}"
+                         + (f"min{min_ch}" if min_ch else "")
+                         + (f"_{tw}" if pad else ""))
+                try:
+                    ips = bench.bench_step(
+                        iters=a.iters,
+                        discriminator_overrides=(
+                            over if pad and "d" in tw else None),
+                        generator_overrides=(
+                            over if pad and "g" in tw else None),
+                        **kw)
+                    results[label] = round(ips, 2)
+                    print(f"[lanepad_ab] {label}: {ips:.2f} img/s",
+                          flush=True)
+                except Exception as e:
+                    print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
+                    results[label] = None
     print(json.dumps(results))
 
 

@@ -147,16 +147,24 @@ def main():
     # Reference-semantics configs only; the headline is the best of these.
     # (dtype, batch, gp_dtype, xla_vmem_kib): the scoped-VMEM hint is only
     # applied where it was swept and measured a win (bf16 bs128: 547->563).
+    lane = {"lane_pad": 128, "lane_pad_min_ch": 64}
     candidates = [
-        ("float32", 24, "float32", None),   # the reference operating point
-        ("bfloat16", 64, "float32", None),  # TPU-friendly larger batch
-        ("bfloat16", 128, "bfloat16", 65536),  # bf16 GP (fp32 norm math)
-        ("bfloat16", 256, "bfloat16", None),   # MXU-saturating batch
+        ("float32", 24, "float32", None, None),  # the reference point
+        ("bfloat16", 64, "float32", None, None),  # TPU-friendly larger batch
+        ("bfloat16", 128, "bfloat16", 65536, None),  # bf16 GP (fp32 norm)
+        ("bfloat16", 256, "bfloat16", None, None),   # MXU-saturating batch
+        # + exact MXU lane widening of the 64-ch convs (roofline-best arm of
+        # tools/lanepad_ab.py; exact math so headline-eligible either way)
+        ("bfloat16", 128, "bfloat16", 65536, lane),
     ]
-    for dtype, batch, gp, vmem in candidates:
-        label = f"{dtype}_bs{batch}" + ("_gpbf16" if gp != "float32" else "")
+    for dtype, batch, gp, vmem, lane_over in candidates:
+        label = (f"{dtype}_bs{batch}"
+                 + ("_gpbf16" if gp != "float32" else "")
+                 + ("_lane128min64" if lane_over else ""))
         try:
-            ips = bench_step(dtype, batch, gp_dtype=gp, xla_vmem_kib=vmem)
+            ips = bench_step(dtype, batch, gp_dtype=gp, xla_vmem_kib=vmem,
+                             generator_overrides=lane_over,
+                             discriminator_overrides=lane_over)
             results[label] = ips
             print(f"[bench] {label}: {ips:.2f} img/s", file=sys.stderr)
         except Exception as e:

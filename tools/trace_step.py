@@ -37,7 +37,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_step(batch: int, iters: int, image_size: int = 256):
+def build_step(batch: int, iters: int, image_size: int = 256,
+               lane_pad: int = 0, lane_pad_min_ch: int = 0,
+               g_lane_pad: bool = False, vmem_kib: int | None = None):
+    import functools
+
     import jax
     import jax.numpy as jnp
     from gan_codes_tpu.config import GANConfig
@@ -45,8 +49,12 @@ def build_step(batch: int, iters: int, image_size: int = 256):
     from gan_codes_tpu.train.state import create_train_state
     from gan_codes_tpu.train.step import make_train_step
 
-    cfg = GANConfig.for_image_size(image_size, batch_size=batch,
-                                   compute_dtype="bfloat16")
+    lane = ({"lane_pad": lane_pad, "lane_pad_min_ch": lane_pad_min_ch}
+            if lane_pad else None)
+    cfg = GANConfig.for_image_size(
+        image_size, batch_size=batch, compute_dtype="bfloat16",
+        discriminator_overrides=lane,
+        generator_overrides=lane if g_lane_pad else None)
     cfg = dataclasses.replace(
         cfg, loss=dataclasses.replace(cfg.loss, gp_compute_dtype="bfloat16"))
     key = jax.random.PRNGKey(0)
@@ -64,7 +72,9 @@ def build_step(batch: int, iters: int, image_size: int = 256):
             return s2, m["g_loss"]
         return jax.lax.scan(body, state, None, length=iters)
 
-    f = jax.jit(run_n, donate_argnums=(0,))
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
+            if vmem_kib else None)
+    f = jax.jit(run_n, donate_argnums=(0,), compiler_options=opts)
     args = (state, te, images, caps, lens)
     return f, args
 
@@ -133,6 +143,13 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--lane-pad", type=int, default=0,
+                    help="D MXU lane widening (DiscriminatorConfig.lane_pad)")
+    ap.add_argument("--lane-pad-min-ch", type=int, default=0)
+    ap.add_argument("--g-lane-pad", action="store_true",
+                    help="apply the same lane widening to the generator")
+    ap.add_argument("--vmem-kib", type=int, default=None,
+                    help="xla_tpu_scoped_vmem_limit_kib compiler hint")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "trace_r3"))
     a = ap.parse_args()
@@ -140,7 +157,9 @@ def main():
     import jax
     import numpy as np
 
-    f, args = build_step(a.batch, a.iters, a.image_size)
+    bs_kw = dict(lane_pad=a.lane_pad, lane_pad_min_ch=a.lane_pad_min_ch,
+                 g_lane_pad=a.g_lane_pad, vmem_kib=a.vmem_kib)
+    f, args = build_step(a.batch, a.iters, a.image_size, **bs_kw)
 
     print("compiling + warmup...", flush=True)
     lowered = f.lower(*args)
@@ -152,13 +171,13 @@ def main():
         print(f"(optimized HLO unavailable through this backend: {e})")
 
     # fresh args each call: state was donated
-    _, args2 = build_step(a.batch, a.iters, a.image_size)
+    _, args2 = build_step(a.batch, a.iters, a.image_size, **bs_kw)
     state, losses = f(*args2)
     np.asarray(losses)  # warmup sync (relay rule: value fetch)
 
     os.makedirs(a.out, exist_ok=True)
     trace_dir = os.path.join(a.out, "raw_trace")
-    _, args3 = build_step(a.batch, a.iters, a.image_size)
+    _, args3 = build_step(a.batch, a.iters, a.image_size, **bs_kw)
     t0 = time.perf_counter()
     with jax.profiler.trace(trace_dir):
         state, losses = f(*args3)
@@ -224,7 +243,11 @@ def main():
     analysis = {
         "operating_point": {"batch": a.batch, "image_size": a.image_size,
                             "dtype": "bfloat16", "gp_dtype": "bfloat16",
-                            "iters_traced": a.iters},
+                            "iters_traced": a.iters,
+                            "lane_pad": a.lane_pad,
+                            "lane_pad_min_ch": a.lane_pad_min_ch,
+                            "g_lane_pad": a.g_lane_pad,
+                            "vmem_kib": a.vmem_kib},
         "wall_ms_incl_trace": round(wall * 1e3, 1),
         "device_busy_ms": round(dev_busy / 1e3, 1),
         "images_per_sec_incl_trace": round(img_s, 1),

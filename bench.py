@@ -152,7 +152,10 @@ def main():
         ("float32", 24, "float32", None, None),  # the reference point
         ("bfloat16", 64, "float32", None, None),  # TPU-friendly larger batch
         ("bfloat16", 128, "bfloat16", 65536, None),  # bf16 GP (fp32 norm)
-        ("bfloat16", 256, "bfloat16", None, None),   # MXU-saturating batch
+        # (a bs256 arm was measured once and retired: 548.0 < bs128's 578.7
+        # — already MXU-saturated, bigger working set; PERF.md keeps the
+        # number. Every arm is ~5 min of remote compile inside the driver's
+        # bench window, so only potential winners stay.)
         # + exact MXU lane widening of the 64-ch convs (roofline-best arm of
         # tools/lanepad_ab.py; exact math so headline-eligible either way)
         ("bfloat16", 128, "bfloat16", 65536, lane),

@@ -57,6 +57,13 @@ def make_ablated_step(cfg: GANConfig, skip=()):
     gp_dtype = (jnp.bfloat16 if loss_cfg.gp_compute_dtype == "bfloat16"
                 else jnp.float32)
     g_tx, d_tx = make_optimizers(cfg)
+    # same wiring as train/step.py: D lane widening comes in through a
+    # partial; G's comes through gen_cfg inside generator_apply
+    d_embeds = (discriminator_embeds if not cfg.discriminator.lane_pad
+                else functools.partial(
+                    discriminator_embeds,
+                    lane_pad=cfg.discriminator.lane_pad,
+                    lane_pad_min_ch=cfg.discriminator.lane_pad_min_ch))
 
     def step(state, sents, images):
         rng, k_noise = jax.random.split(state.rng)
@@ -72,7 +79,7 @@ def make_ablated_step(cfg: GANConfig, skip=()):
         if "hinge" not in skip:
             def d_loss_fn(dp):
                 return losses.d_hinge_loss(
-                    discriminator_embeds, discriminator_logits,
+                    d_embeds, discriminator_logits,
                     _cast(dp, cdtype), images.astype(cdtype),
                     jax.lax.stop_gradient(fake), sents_c).astype(jnp.float32)
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -84,7 +91,7 @@ def make_ablated_step(cfg: GANConfig, skip=()):
         if "gp" not in skip:
             def gp_loss_fn(dp):
                 return losses.ma_gradient_penalty(
-                    discriminator_embeds, discriminator_logits,
+                    d_embeds, discriminator_logits,
                     _cast(dp, gp_dtype), images.astype(gp_dtype),
                     sents.astype(gp_dtype), loss_cfg)
             gp_loss, gp_grads = jax.value_and_grad(gp_loss_fn)(d_params_1)
@@ -98,7 +105,7 @@ def make_ablated_step(cfg: GANConfig, skip=()):
 
             def g_loss_from_fake(f):
                 return losses.g_hinge_loss(
-                    discriminator_embeds, discriminator_logits, d2c, f,
+                    d_embeds, discriminator_logits, d2c, f,
                     sents_c).astype(jnp.float32)
             g_adv, d_fake = jax.value_and_grad(g_loss_from_fake)(fake)
             out = out + g_adv
@@ -151,11 +158,20 @@ def main():
     ap.add_argument("--gp-dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--d-lane-pad", type=int, default=0,
+                    help="DiscriminatorConfig.lane_pad (exact MXU widening)")
+    ap.add_argument("--g-lane-pad", type=int, default=0,
+                    help="GeneratorConfig.lane_pad")
+    ap.add_argument("--lane-pad-min-ch", type=int, default=0)
     a = ap.parse_args()
 
     cfg = GANConfig.for_image_size(
         a.image_size, batch_size=a.batch, compute_dtype=a.dtype,
-        loss_overrides={"gp_compute_dtype": a.gp_dtype})
+        loss_overrides={"gp_compute_dtype": a.gp_dtype},
+        generator_overrides={"lane_pad": a.g_lane_pad,
+                             "lane_pad_min_ch": a.lane_pad_min_ch},
+        discriminator_overrides={"lane_pad": a.d_lane_pad,
+                                 "lane_pad_min_ch": a.lane_pad_min_ch})
     te_cfg = cfg.text_encoder
     key = jax.random.PRNGKey(1)
     te_params = init_text_encoder(key, te_cfg)

@@ -60,6 +60,13 @@ class GeneratorConfig:
     # Cout < lane_pad_min_ch keep natural width. Bypasses the Pallas path.
     lane_pad: int = 0
     lane_pad_min_ch: int = 0
+    # Zero-pad conv_out's 3 RGB output lanes up to this width inside
+    # generator_apply, slicing back to 3 before tanh (0 = off). The forward
+    # fills image_pad/128 MXU lanes instead of 3/128, and the backward's
+    # grad-to-input conv gets a 9*image_pad reduction dim instead of 27.
+    # Exact math (zero kernels/bias produce the pad lanes; the slice VJP
+    # zero-pads the cotangent); the public output stays [B, H, W, 3].
+    image_pad: int = 0
 
     @property
     def n_up_blocks(self) -> int:
@@ -209,6 +216,16 @@ class TrainConfig:
     # default. Exact math — a scheduling/fusion budget, not a numerics
     # change. Ignored on CPU (options dict only built for TPU backends).
     xla_scoped_vmem_kib: Optional[int] = None
+    # Zero-pad the image-channel dim to this many lanes for every D forward
+    # inside the train step (0 = off). RGB's 3 channels fill 3/128 MXU
+    # output lanes in the GP/G-phase grad-to-image convs and 27/128
+    # reduction rows in D's stem conv (9 taps x 3 ch) — the trace's
+    # slowest-rate convs (artifacts/trace_r3_postfold: 10.5 and 44 TF/s).
+    # EXACT math: pad channels are zeros, the stem kernel's matching rows
+    # are zeros, and the MA-GP norm is unchanged because the image-grad on
+    # pad channels is exactly zero. Param/checkpoint shapes untouched.
+    # Perf A/B, not semantics: measure before enabling.
+    image_pad: int = 0
 
     @property
     def compute_jnp_dtype(self):

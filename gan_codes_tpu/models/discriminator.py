@@ -57,9 +57,12 @@ def discriminator_embeds(params: Params, image: jnp.ndarray,
     untouched."""
     stem = params["conv_stem"]
     stem_out = stem["w"].shape[3]
-    if lane_pad and stem_out >= lane_pad_min_ch:
-        stem = nn.lane_pad_params(stem, image.shape[-1],
-                                  max(stem_out, lane_pad))
+    cout = (max(stem_out, lane_pad)
+            if lane_pad and stem_out >= lane_pad_min_ch else stem_out)
+    # Cin always tracks the incoming image width: TrainConfig.image_pad
+    # feeds zero-padded image channels (the kernel's matching rows pad to
+    # zeros — exact), independent of the lane_pad knob.
+    stem = nn.lane_pad_params(stem, image.shape[-1], cout)
     x = nn.conv2d(stem, image, stride=1, padding=1)
     for block_params in params["blocks"]:
         x = blocks.res_block_d(block_params, x, lane_pad, lane_pad_min_ch)

@@ -81,12 +81,16 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
 
     x = nn.leaky_relu(x)
     conv_out = params["conv_out"]
-    if x.shape[-1] != conv_out["w"].shape[2]:
-        # lane-padded ladder output: widen conv_out's Cin to match (Cout
-        # stays 3 — the image never pads)
-        conv_out = nn.lane_pad_params(conv_out, x.shape[-1],
-                                      conv_out["w"].shape[3])
+    real_out = conv_out["w"].shape[3]
+    # cfg.image_pad widens the 3 RGB output lanes (sliced back below);
+    # a lane-padded ladder output widens conv_out's Cin to match. Both are
+    # exact zero-padding (nn.lane_pad_params).
+    cout = max(real_out, cfg.image_pad) if cfg.image_pad else real_out
+    if x.shape[-1] != conv_out["w"].shape[2] or cout != real_out:
+        conv_out = nn.lane_pad_params(conv_out, x.shape[-1], cout)
     x = nn.conv2d(conv_out, x, stride=1, padding=1)
+    if cout != real_out:
+        x = x[..., :real_out]
     return jnp.tanh(x)
 
 

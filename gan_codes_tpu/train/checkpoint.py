@@ -45,6 +45,8 @@ CONFIG_RESUME_MUTABLE = frozenset({
     "generator.lane_pad_min_ch",
     "discriminator.lane_pad",
     "discriminator.lane_pad_min_ch",
+    "generator.image_pad",
+    "train.image_pad",
 })
 
 

@@ -65,6 +65,17 @@ def make_train_step(cfg: GANConfig):
                     discriminator_embeds,
                     lane_pad=cfg.discriminator.lane_pad,
                     lane_pad_min_ch=cfg.discriminator.lane_pad_min_ch))
+    # TrainConfig.image_pad: zero-pad the RGB dim for every D forward so the
+    # image-boundary convs (stem reduction 27/128, grad-to-image output
+    # lanes 3/128) fill the MXU (exact math — see the config docstring).
+    img_pad = cfg.train.image_pad
+
+    def _pad_img(x):
+        if not img_pad or x.shape[-1] >= img_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                       + ((0, img_pad - x.shape[-1]),))
+
     # Lazy regularization (LossConfig.gp_interval): the penalty phase runs
     # every k-th step with coefficient scaled by k (StyleGAN2-style equal
     # time-averaged pressure); k=1 (default) is the reference's every-step
@@ -92,7 +103,7 @@ def make_train_step(cfg: GANConfig):
 
         noise = jax.random.normal(k_noise, (batch, gen_cfg.latent_dim))
 
-        images_c = images.astype(cdtype)
+        images_c = _pad_img(images).astype(cdtype)
         sents_c = sents.astype(cdtype)
 
         # ONE generator forward for the whole step. The reference reuses its
@@ -104,7 +115,7 @@ def make_train_step(cfg: GANConfig):
             lambda gp: generator_apply(_cast(gp, cdtype), gen_cfg,
                                        noise.astype(cdtype), sents_c),
             state.g_params)
-        fake_detached = jax.lax.stop_gradient(fake)
+        fake_detached = _pad_img(jax.lax.stop_gradient(fake))
 
         # ---- Phase 1: D hinge (adversarial + mismatch) ----
         def d_loss_fn(d_params):
@@ -130,7 +141,9 @@ def make_train_step(cfg: GANConfig):
             return losses.ma_gradient_penalty(
                 d_embeds, discriminator_logits,
                 _cast(d_params, gp_dtype),
-                images.astype(gp_dtype), sents.astype(gp_dtype),
+                # image-grad on the pad channels is exactly zero (zero stem
+                # rows), so the GP norm over the padded tensor is unchanged
+                _pad_img(images).astype(gp_dtype), sents.astype(gp_dtype),
                 gp_cfg)
 
         def run_gp(operands):
@@ -162,7 +175,7 @@ def make_train_step(cfg: GANConfig):
         def g_loss_from_fake(fake_in):
             adv = losses.g_hinge_loss(
                 d_embeds, discriminator_logits, d_params_2_c,
-                fake_in, sents_c).astype(jnp.float32)
+                _pad_img(fake_in), sents_c).astype(jnp.float32)
             txtimg = losses.damsm_cosine_loss(
                 fake_in.astype(jnp.float32), sents).astype(jnp.float32)
             total = adv + loss_cfg.damsm_weight * txtimg

@@ -35,7 +35,7 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           compile_cache_dir: Optional[str] = None,
           n_channels: int = 32, eval_augment: bool = False,
           d_lane_pad: int = 0, g_lane_pad: int = 0,
-          lane_pad_min_ch: int = 0):
+          lane_pad_min_ch: int = 0, image_pad: int = 0):
     import jax
 
     if compile_cache_dir:
@@ -93,9 +93,11 @@ def train(data_path: str, encoder_weights_path: Optional[str],
                         "gp_interval": gp_interval},
         generator_overrides={"remat_blocks": remat_g,
                              "lane_pad": g_lane_pad,
-                             "lane_pad_min_ch": lane_pad_min_ch},
+                             "lane_pad_min_ch": lane_pad_min_ch,
+                             "image_pad": image_pad},
         discriminator_overrides={"lane_pad": d_lane_pad,
                                  "lane_pad_min_ch": lane_pad_min_ch},
+        image_pad=image_pad,
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
         checkpoint_every_epochs=ckpt_every,
@@ -194,6 +196,11 @@ def main():
                    help="only lane-pad convs whose real Cout >= N "
                         "(roofline: padding 32->128 quadruples FLOPs and "
                         "likely loses; 64->128 doubles them and should win)")
+    p.add_argument("--image-pad", type=int, default=0,
+                   help="zero-pad the RGB dim to N lanes for G's output "
+                        "conv and every D forward (exact math; fills the "
+                        "3/128-lane image-boundary convs — see PERF.md). "
+                        "0 = off")
     p.add_argument("--remat-g", action="store_true",
                    help="jax.checkpoint the G blocks: recompute modulation "
                         "chains in the backward instead of saving them")
@@ -232,7 +239,7 @@ def main():
           xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
           compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment,
           d_lane_pad=a.d_lane_pad, g_lane_pad=a.g_lane_pad,
-          lane_pad_min_ch=a.lane_pad_min_ch)
+          lane_pad_min_ch=a.lane_pad_min_ch, image_pad=a.image_pad)
 
 
 if __name__ == "__main__":

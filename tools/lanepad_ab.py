@@ -55,6 +55,23 @@ def main():
     results = {}
     for point in a.points.split(","):
         kw = points[point]
+        # image-boundary padding arms (TrainConfig.image_pad +
+        # GeneratorConfig.image_pad): RGB's 3 channels fill 3/128 output
+        # lanes in the grad-to-image convs and 27/128 reduction rows in the
+        # stem — a separate exact-math axis from conv lane widening.
+        for ip in (16, 32):
+            label = f"{point}_imgpad{ip}"
+            try:
+                ips = bench.bench_step(
+                    iters=a.iters,
+                    generator_overrides={"image_pad": ip},
+                    train_overrides={"image_pad": ip},
+                    **kw)
+                results[label] = round(ips, 2)
+                print(f"[lanepad_ab] {label}: {ips:.2f} img/s", flush=True)
+            except Exception as e:
+                print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
+                results[label] = None
         for arm in a.pads.split(","):
             pad, _, min_ch = arm.partition(":")
             pad, min_ch = int(pad), int(min_ch or 0)
@@ -78,6 +95,23 @@ def main():
                 except Exception as e:
                     print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
                     results[label] = None
+        # combined arm: image-boundary padding + the roofline-preferred
+        # lane-widening point, in case the axes compose
+        label = f"{point}_imgpad16_pad128min64_gd"
+        try:
+            ips = bench.bench_step(
+                iters=a.iters,
+                generator_overrides={"image_pad": 16, "lane_pad": 128,
+                                     "lane_pad_min_ch": 64},
+                discriminator_overrides={"lane_pad": 128,
+                                         "lane_pad_min_ch": 64},
+                train_overrides={"image_pad": 16},
+                **kw)
+            results[label] = round(ips, 2)
+            print(f"[lanepad_ab] {label}: {ips:.2f} img/s", flush=True)
+        except Exception as e:
+            print(f"[lanepad_ab] {label} FAILED: {e}", flush=True)
+            results[label] = None
     print(json.dumps(results))
 
 

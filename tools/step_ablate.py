@@ -64,8 +64,16 @@ def make_ablated_step(cfg: GANConfig, skip=()):
                     discriminator_embeds,
                     lane_pad=cfg.discriminator.lane_pad,
                     lane_pad_min_ch=cfg.discriminator.lane_pad_min_ch))
+    img_pad = cfg.train.image_pad
+
+    def _pad_img(x):
+        if not img_pad or x.shape[-1] >= img_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                       + ((0, img_pad - x.shape[-1]),))
 
     def step(state, sents, images):
+        images = _pad_img(images)
         rng, k_noise = jax.random.split(state.rng)
         sents_c = sents.astype(cdtype)
         noise = jax.random.normal(k_noise,
@@ -81,7 +89,8 @@ def make_ablated_step(cfg: GANConfig, skip=()):
                 return losses.d_hinge_loss(
                     d_embeds, discriminator_logits,
                     _cast(dp, cdtype), images.astype(cdtype),
-                    jax.lax.stop_gradient(fake), sents_c).astype(jnp.float32)
+                    _pad_img(jax.lax.stop_gradient(fake)),
+                    sents_c).astype(jnp.float32)
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
             upd, d_opt_state = d_tx.update(d_grads, d_opt_state, state.d_params)
             d_params_1 = optax.apply_updates(state.d_params, upd)
@@ -105,7 +114,7 @@ def make_ablated_step(cfg: GANConfig, skip=()):
 
             def g_loss_from_fake(f):
                 return losses.g_hinge_loss(
-                    d_embeds, discriminator_logits, d2c, f,
+                    d_embeds, discriminator_logits, d2c, _pad_img(f),
                     sents_c).astype(jnp.float32)
             g_adv, d_fake = jax.value_and_grad(g_loss_from_fake)(fake)
             out = out + g_adv
@@ -163,15 +172,19 @@ def main():
     ap.add_argument("--g-lane-pad", type=int, default=0,
                     help="GeneratorConfig.lane_pad")
     ap.add_argument("--lane-pad-min-ch", type=int, default=0)
+    ap.add_argument("--image-pad", type=int, default=0,
+                    help="TrainConfig.image_pad + GeneratorConfig.image_pad")
     a = ap.parse_args()
 
     cfg = GANConfig.for_image_size(
         a.image_size, batch_size=a.batch, compute_dtype=a.dtype,
         loss_overrides={"gp_compute_dtype": a.gp_dtype},
         generator_overrides={"lane_pad": a.g_lane_pad,
-                             "lane_pad_min_ch": a.lane_pad_min_ch},
+                             "lane_pad_min_ch": a.lane_pad_min_ch,
+                             "image_pad": a.image_pad},
         discriminator_overrides={"lane_pad": a.d_lane_pad,
-                                 "lane_pad_min_ch": a.lane_pad_min_ch})
+                                 "lane_pad_min_ch": a.lane_pad_min_ch},
+        image_pad=a.image_pad)
     te_cfg = cfg.text_encoder
     key = jax.random.PRNGKey(1)
     te_params = init_text_encoder(key, te_cfg)

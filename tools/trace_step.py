@@ -39,7 +39,8 @@ sys.path.insert(0, REPO)
 
 def build_step(batch: int, iters: int, image_size: int = 256,
                lane_pad: int = 0, lane_pad_min_ch: int = 0,
-               g_lane_pad: bool = False, vmem_kib: int | None = None):
+               g_lane_pad: bool = False, vmem_kib: int | None = None,
+               image_pad: int = 0):
     import functools
 
     import jax
@@ -50,11 +51,15 @@ def build_step(batch: int, iters: int, image_size: int = 256,
     from gan_codes_tpu.train.step import make_train_step
 
     lane = ({"lane_pad": lane_pad, "lane_pad_min_ch": lane_pad_min_ch}
-            if lane_pad else None)
+            if lane_pad else {})
+    gen_over = dict(lane) if g_lane_pad else {}
+    if image_pad:
+        gen_over["image_pad"] = image_pad
     cfg = GANConfig.for_image_size(
         image_size, batch_size=batch, compute_dtype="bfloat16",
-        discriminator_overrides=lane,
-        generator_overrides=lane if g_lane_pad else None)
+        discriminator_overrides=lane or None,
+        generator_overrides=gen_over or None,
+        image_pad=image_pad)
     cfg = dataclasses.replace(
         cfg, loss=dataclasses.replace(cfg.loss, gp_compute_dtype="bfloat16"))
     key = jax.random.PRNGKey(0)
@@ -150,6 +155,8 @@ def main():
                     help="apply the same lane widening to the generator")
     ap.add_argument("--vmem-kib", type=int, default=None,
                     help="xla_tpu_scoped_vmem_limit_kib compiler hint")
+    ap.add_argument("--image-pad", type=int, default=0,
+                    help="TrainConfig.image_pad + GeneratorConfig.image_pad")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "trace_r3"))
     a = ap.parse_args()
@@ -158,7 +165,8 @@ def main():
     import numpy as np
 
     bs_kw = dict(lane_pad=a.lane_pad, lane_pad_min_ch=a.lane_pad_min_ch,
-                 g_lane_pad=a.g_lane_pad, vmem_kib=a.vmem_kib)
+                 g_lane_pad=a.g_lane_pad, vmem_kib=a.vmem_kib,
+                 image_pad=a.image_pad)
     f, args = build_step(a.batch, a.iters, a.image_size, **bs_kw)
 
     print("compiling + warmup...", flush=True)
@@ -247,7 +255,8 @@ def main():
                             "lane_pad": a.lane_pad,
                             "lane_pad_min_ch": a.lane_pad_min_ch,
                             "g_lane_pad": a.g_lane_pad,
-                            "vmem_kib": a.vmem_kib},
+                            "vmem_kib": a.vmem_kib,
+                            "image_pad": a.image_pad},
         "wall_ms_incl_trace": round(wall * 1e3, 1),
         "device_busy_ms": round(dev_busy / 1e3, 1),
         "images_per_sec_incl_trace": round(img_s, 1),

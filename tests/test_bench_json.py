@@ -1,0 +1,53 @@
+"""Contract tests for bench.py's one-line stdout JSON (the driver's scoring
+surface — BENCH_r{N}.json `parsed` must be non-null on every exit path).
+
+All emission paths (normal finish, watchdog bail, SIGTERM, backend outage,
+no-arm-completed) go through bench.emit(); these tests pin its shape so a
+refactor can't silently break the driver's parser or let the opt-in lazy-GP
+operating point (different step semantics) become the headline.
+"""
+import json
+import sys
+
+sys.path.insert(0, ".")  # bench.py lives at the repo root, outside the pkg
+
+import bench
+
+
+def _emit(capsys, *args, **kw):
+    bench.emit(*args, **kw)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "emit must print exactly ONE stdout line"
+    return json.loads(out[0])
+
+
+def test_best_arm_wins(capsys):
+    p = _emit(capsys, {"a": 10.0, "b": 20.0})
+    assert p["value"] == 20.0
+    assert p["config"] == "b"
+    assert p["unit"] == "images/sec/chip"
+    assert p["vs_baseline"] == round(20.0 / bench.REF_IMAGES_PER_SEC, 2)
+    assert p["all"] == {"a": 10.0, "b": 20.0}
+
+
+def test_opt_in_point_never_headlines(capsys):
+    results = {"bfloat16_bs128_gpbf16": 550.0,
+               "bfloat16_bs128_gpbf16_lazy4(opt-in)": 700.0}
+    p = _emit(capsys, results)
+    assert p["config"] == "bfloat16_bs128_gpbf16"
+    assert p["value"] == 550.0
+    # still visible in the labeled breakdown
+    assert p["all"]["bfloat16_bs128_gpbf16_lazy4(opt-in)"] == 700.0
+
+
+def test_outage_shape(capsys):
+    p = _emit(capsys, {}, error="TPU backend unavailable")
+    assert p["value"] == 0.0 and p["vs_baseline"] == 0.0
+    assert p["error"] == "TPU backend unavailable"
+    assert p["metric"] == "images_per_sec_per_chip_256px_train_step"
+
+
+def test_partial_bail_keeps_completed_arms(capsys):
+    p = _emit(capsys, {"x": 42.0}, partial="time budget 2400s")
+    assert p["value"] == 42.0
+    assert p["partial"] == "time budget 2400s"

@@ -166,6 +166,21 @@ def main():
         return
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
+    # Persistent XLA compilation cache: each arm is ~5 min of remote
+    # compile, so a warm cache (e.g. from a watcher-run bench earlier in
+    # the day) shrinks the whole run ~5x. Fail-soft by design — JAX logs
+    # and recompiles on any cache read/write problem, and the cache key
+    # includes the platform fingerprint, so a stale/foreign entry can't
+    # poison a run. BENCH_COMPILE_CACHE=0 opts out.
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
+    if cache_dir and cache_dir != "0":
+        try:
+            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
+            enable_compile_cache(cache_dir)
+            print(f"[bench] compile cache: {cache_dir}", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] compile cache disabled: {e}", file=sys.stderr)
+
     results = {}
     # Second round-3 lesson: the driver kills an over-long bench with NO
     # JSON on stdout. A daemon-thread watchdog emits the best-so-far line

@@ -43,6 +43,13 @@ def main():
 
     import bench
 
+    # Share bench.py's persistent compile cache: three of these arms are
+    # also bench candidates, so an A/B run pre-warms the driver's bench.
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
+    if cache_dir and cache_dir != "0":
+        from gan_codes_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(cache_dir)
+
     points = {
         # headline point: bf16 bs128, bf16 GP, scoped-VMEM hint
         "bf16_bs128": dict(compute_dtype="bfloat16", batch=128,

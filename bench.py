@@ -164,29 +164,15 @@ def main():
     if not (probe_backend(30) or (time.sleep(15) or probe_backend(10))):
         emit({}, error="TPU backend unavailable")
         return
-    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
-
-    # Persistent XLA compilation cache: each arm is ~5 min of remote
-    # compile, so a warm cache (e.g. from a watcher-run bench earlier in
-    # the day) shrinks the whole run ~5x. Fail-soft by design — JAX logs
-    # and recompiles on any cache read/write problem, and the cache key
-    # includes the platform fingerprint, so a stale/foreign entry can't
-    # poison a run. BENCH_COMPILE_CACHE=0 opts out.
-    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
-    if cache_dir and cache_dir != "0":
-        try:
-            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
-            enable_compile_cache(cache_dir)
-            print(f"[bench] compile cache: {cache_dir}", file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] compile cache disabled: {e}", file=sys.stderr)
 
     results = {}
     # Second round-3 lesson: the driver kills an over-long bench with NO
     # JSON on stdout. A daemon-thread watchdog emits the best-so-far line
     # and hard-exits before that can happen (a thread, not a signal
     # handler: the main thread can sit blocked in a C call — remote
-    # compile / value fetch — where Python signal handlers don't run).
+    # compile / value fetch / even the in-process backend init below, if
+    # the relay dies after the probe — where Python signal handlers don't
+    # run). Armed BEFORE the first in-process jax call for that reason.
     # Arms are ordered winners-first below so a truncated run still
     # reports the headline candidates. SIGTERM gets the same treatment in
     # case the driver's timeout fires first.
@@ -206,6 +192,23 @@ def main():
     watchdog.daemon = True
     watchdog.start()
     signal.signal(signal.SIGTERM, lambda *_: _bail("SIGTERM"))
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+
+    # Persistent XLA compilation cache: each arm is ~5 min of remote
+    # compile, so a warm cache (e.g. from a watcher-run bench earlier in
+    # the day) shrinks the whole run ~5x. Fail-soft by design — JAX logs
+    # and recompiles on any cache read/write problem, and the cache key
+    # includes the platform fingerprint, so a stale/foreign entry can't
+    # poison a run. BENCH_COMPILE_CACHE=0 opts out.
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
+    if cache_dir and cache_dir != "0":
+        try:
+            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
+            enable_compile_cache(cache_dir)
+            print(f"[bench] compile cache: {cache_dir}", file=sys.stderr)
+        except Exception as e:
+            print(f"[bench] compile cache disabled: {e}", file=sys.stderr)
     # Reference-semantics configs only; the headline is the best of these.
     # (dtype, batch, gp_dtype, xla_vmem_kib): the scoped-VMEM hint is only
     # applied where it was swept and measured a win (bf16 bs128: 547->563).

@@ -177,13 +177,26 @@ def main():
     # reports the headline candidates. SIGTERM gets the same treatment in
     # case the driver's timeout fires first.
     done = threading.Event()
+    # One lock covers (a) results mutation vs the watchdog's snapshot (a
+    # dict resized mid-comprehension raises and would kill the bail before
+    # its JSON prints) and (b) the done check-then-set (two JSON lines if
+    # the timer and the main thread finish simultaneously).
+    lock = threading.Lock()
+
+    def _finish():
+        """Atomically claim the right to emit; False if already claimed."""
+        with lock:
+            if done.is_set():
+                return None
+            done.set()
+            return dict(results)
 
     def _bail(reason: str):
-        if done.is_set():
+        snapshot = _finish()
+        if snapshot is None:
             return
-        done.set()
         print(f"[bench] bailing: {reason}", file=sys.stderr, flush=True)
-        emit(results, partial=reason)
+        emit(snapshot, partial=reason)
         os._exit(0)
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", 2400))
@@ -244,15 +257,16 @@ def main():
                              generator_overrides=gen_over,
                              discriminator_overrides=lane_over,
                              train_overrides=img_over)
-            results[label] = ips
+            with lock:
+                results[label] = ips
             print(f"[bench] {label}: {ips:.2f} img/s", file=sys.stderr)
         except Exception as e:
             print(f"[bench] {label} failed: {e}", file=sys.stderr)
 
     if not results:
-        done.set()
-        watchdog.cancel()
-        emit({}, error="no arm completed")
+        if _finish() is not None:
+            watchdog.cancel()
+            emit({}, error="no arm completed")
         return
 
     # Extra labeled operating point, NOT headline-eligible: StyleGAN2-style
@@ -265,14 +279,16 @@ def main():
         ips = bench_step("bfloat16", 128, iters=20, gp_dtype="bfloat16",
                          loss_overrides={"gp_interval": 4},
                          xla_vmem_kib=65536)
-        results["bfloat16_bs128_gpbf16_lazy4(opt-in)"] = ips
+        with lock:
+            results["bfloat16_bs128_gpbf16_lazy4(opt-in)"] = ips
         print(f"[bench] lazy-GP interval 4 (opt-in): {ips:.2f} img/s",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] lazy-GP failed: {e}", file=sys.stderr)
-    done.set()
-    watchdog.cancel()
-    emit(results)
+    snapshot = _finish()
+    if snapshot is not None:
+        watchdog.cancel()
+        emit(snapshot)
 
 
 if __name__ == "__main__":

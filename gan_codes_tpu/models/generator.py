@@ -38,8 +38,18 @@ def init_generator(key: jax.Array, cfg: GeneratorConfig, dtype=jnp.float32) -> P
 
 
 def generator_apply(params: Params, cfg: GeneratorConfig,
-                    noise: jnp.ndarray, sentence_embed: jnp.ndarray) -> jnp.ndarray:
-    """noise [B, latent_dim], sentence_embed [B, sentence_dim] -> [B, H, W, 3]."""
+                    noise: jnp.ndarray, sentence_embed: jnp.ndarray,
+                    keep_pad: bool = False) -> jnp.ndarray:
+    """noise [B, latent_dim], sentence_embed [B, sentence_dim] -> [B, H, W, 3].
+
+    keep_pad=True (train-step internal, only meaningful with
+    cfg.image_pad > 0) returns the image_pad-widened output [B, H, W,
+    image_pad] instead of slicing back to 3: the pad lanes are exact zeros
+    even post-tanh (zero kernels/bias, tanh(0) == 0), so the consumer can
+    feed D directly. Keeping the lanes CONSUMED matters for the perf A/B —
+    a slice-then-re-pad roundtrip invites XLA to slice-propagate the conv
+    back to 3 output lanes and silently nullify the widening.
+    """
     b = noise.shape[0]
     x = nn.dense(params["linear_in"], noise)
     # Reference reshapes to NCHW [B, 8nc, 4, 4] (`generator/model.py:37`); we
@@ -89,7 +99,7 @@ def generator_apply(params: Params, cfg: GeneratorConfig,
     if x.shape[-1] != conv_out["w"].shape[2] or cout != real_out:
         conv_out = nn.lane_pad_params(conv_out, x.shape[-1], cout)
     x = nn.conv2d(conv_out, x, stride=1, padding=1)
-    if cout != real_out:
+    if cout != real_out and not keep_pad:
         x = x[..., :real_out]
     return jnp.tanh(x)
 

@@ -109,6 +109,22 @@ def lane_pad_params(params: Params, cin: int, cout: int) -> Params:
     return out
 
 
+def pad_channels(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad the trailing (channel) dim of `x` up to `n` lanes; no-op when
+    already that wide or `n` is 0.
+
+    The image-boundary half of the MXU lane-fill scheme
+    (TrainConfig.image_pad): exact math because the matching conv-kernel
+    rows are zero-padded by lane_pad_params, the pad lanes carry exact
+    zeros forward, and the slice/pad VJP pair keeps cotangents exact.
+    Shared by the train step, tools/step_ablate.py, and the exactness
+    tests so the padding rule cannot silently diverge between them.
+    """
+    if not n or x.shape[-1] >= n:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, n - x.shape[-1]),))
+
+
 def conv3x3_on_upsampled(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """== conv2d(params, upsample_nearest_2x(x), stride=1, padding=1), exactly.
 

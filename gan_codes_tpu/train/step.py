@@ -37,6 +37,7 @@ from ..config import GANConfig
 from ..models.discriminator import discriminator_embeds, discriminator_logits
 from ..models.generator import generator_apply
 from ..models.text_encoder import text_encoder_apply
+from ..ops import nn
 from . import losses
 from .state import TrainState, ema_update, make_optimizers
 
@@ -68,13 +69,17 @@ def make_train_step(cfg: GANConfig):
     # TrainConfig.image_pad: zero-pad the RGB dim for every D forward so the
     # image-boundary convs (stem reduction 27/128, grad-to-image output
     # lanes 3/128) fill the MXU (exact math — see the config docstring).
-    img_pad = cfg.train.image_pad
+    # GeneratorConfig.image_pad contributes via keep_pad: the generator
+    # returns its widened output directly (pad lanes exact zeros post-tanh)
+    # so the lanes stay CONSUMED by the D forwards — a slice-then-re-pad
+    # roundtrip would invite XLA to slice-propagate the widened conv away.
+    # All D inputs (real and fake — d_hinge_loss concatenates them) pad to
+    # the common width.
+    img_pad = max(cfg.train.image_pad, gen_cfg.image_pad)
+    keep_pad = gen_cfg.image_pad > 0
 
     def _pad_img(x):
-        if not img_pad or x.shape[-1] >= img_pad:
-            return x
-        return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
-                       + ((0, img_pad - x.shape[-1]),))
+        return nn.pad_channels(x, img_pad)
 
     # Lazy regularization (LossConfig.gp_interval): the penalty phase runs
     # every k-th step with coefficient scaled by k (StyleGAN2-style equal
@@ -113,7 +118,8 @@ def make_train_step(cfg: GANConfig):
         # second forward.
         fake, g_vjp = jax.vjp(
             lambda gp: generator_apply(_cast(gp, cdtype), gen_cfg,
-                                       noise.astype(cdtype), sents_c),
+                                       noise.astype(cdtype), sents_c,
+                                       keep_pad=keep_pad),
             state.g_params)
         fake_detached = _pad_img(jax.lax.stop_gradient(fake))
 
@@ -176,8 +182,11 @@ def make_train_step(cfg: GANConfig):
             adv = losses.g_hinge_loss(
                 d_embeds, discriminator_logits, d_params_2_c,
                 _pad_img(fake_in), sents_c).astype(jnp.float32)
+            # DAMSM sees the real RGB image (pad lanes, when present, are
+            # exact zeros — sliced off rather than fed to the cosine).
+            rgb = fake_in[..., :images.shape[-1]]
             txtimg = losses.damsm_cosine_loss(
-                fake_in.astype(jnp.float32), sents).astype(jnp.float32)
+                rgb.astype(jnp.float32), sents).astype(jnp.float32)
             total = adv + loss_cfg.damsm_weight * txtimg
             return total, (adv, txtimg)
 

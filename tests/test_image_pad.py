@@ -28,15 +28,12 @@ from gan_codes_tpu.models.discriminator import (discriminator_embeds,
                                                 init_discriminator)
 from gan_codes_tpu.models.generator import generator_apply, init_generator
 from gan_codes_tpu.models.text_encoder import init_text_encoder
+from gan_codes_tpu.ops.nn import pad_channels as _pad_img
 from gan_codes_tpu.train import losses
 from gan_codes_tpu.train.state import create_train_state
 from gan_codes_tpu.train.step import make_train_step
 
 KEY = jax.random.PRNGKey(21)
-
-
-def _pad_img(x, n):
-    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, n - x.shape[-1]),))
 
 
 def _liven_gammas(params):
@@ -69,6 +66,25 @@ class TestGeneratorImagePad:
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+    def test_keep_pad_output(self):
+        """keep_pad=True (the train step's mode) returns the widened tensor
+        with pad lanes exactly zero even post-tanh, and real lanes equal to
+        the sliced output."""
+        base = GeneratorConfig(n_channels=4, image_size=32)
+        padded_cfg = dataclasses.replace(base, image_pad=16)
+        kp, kn, ks = jax.random.split(KEY, 3)
+        p = init_generator(kp, base)
+        _liven_gammas(p)
+        noise = jax.random.normal(kn, (3, base.latent_dim))
+        sents = jax.random.normal(ks, (3, base.sentence_dim))
+
+        wide = generator_apply(p, padded_cfg, noise, sents, keep_pad=True)
+        assert wide.shape[-1] == 16
+        assert float(jnp.abs(wide[..., 3:]).max()) == 0.0
+        want = generator_apply(p, base, noise, sents)
+        np.testing.assert_allclose(np.asarray(wide[..., :3]),
+                                   np.asarray(want), atol=1e-5, rtol=1e-5)
 
     def test_conv_out_actually_widens(self):
         cfg = dataclasses.replace(GeneratorConfig(n_channels=4,

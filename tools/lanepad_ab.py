@@ -47,8 +47,11 @@ def main():
     # also bench candidates, so an A/B run pre-warms the driver's bench.
     cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
     if cache_dir and cache_dir != "0":
-        from gan_codes_tpu.utils.compile_cache import enable_compile_cache
-        enable_compile_cache(cache_dir)
+        try:
+            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
+            enable_compile_cache(cache_dir)
+        except Exception as e:  # fail-soft like bench.py: never lose a sweep
+            print(f"[lanepad_ab] compile cache disabled: {e}", flush=True)
 
     points = {
         # headline point: bf16 bs128, bf16 GP, scoped-VMEM hint

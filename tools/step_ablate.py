@@ -34,6 +34,7 @@ import numpy as np
 import optax
 
 from gan_codes_tpu.config import GANConfig
+from gan_codes_tpu.ops import nn
 from gan_codes_tpu.models.discriminator import (discriminator_embeds,
                                                 discriminator_logits)
 from gan_codes_tpu.models.generator import generator_apply
@@ -64,13 +65,13 @@ def make_ablated_step(cfg: GANConfig, skip=()):
                     discriminator_embeds,
                     lane_pad=cfg.discriminator.lane_pad,
                     lane_pad_min_ch=cfg.discriminator.lane_pad_min_ch))
-    img_pad = cfg.train.image_pad
+    # same padding rule as train/step.py: common width for all D inputs,
+    # generator keeps its widened lanes so they stay consumed
+    img_pad = max(cfg.train.image_pad, gen_cfg.image_pad)
+    keep_pad = gen_cfg.image_pad > 0
 
     def _pad_img(x):
-        if not img_pad or x.shape[-1] >= img_pad:
-            return x
-        return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
-                       + ((0, img_pad - x.shape[-1]),))
+        return nn.pad_channels(x, img_pad)
 
     def step(state, sents, images):
         images = _pad_img(images)
@@ -80,7 +81,8 @@ def make_ablated_step(cfg: GANConfig, skip=()):
                                   (images.shape[0], gen_cfg.latent_dim), cdtype)
         fake, g_vjp = jax.vjp(
             lambda gp: generator_apply(_cast(gp, cdtype), gen_cfg, noise,
-                                       sents_c), state.g_params)
+                                       sents_c, keep_pad=keep_pad),
+            state.g_params)
 
         d_params_1, d_opt_state = state.d_params, state.d_opt_state
         out = jnp.float32(0.0)

@@ -114,6 +114,17 @@ class TestCheckpointRoundTrip:
             generator=dataclasses.replace(cfg.generator, remat_blocks=True))
         mgr.verify_config(perf)
 
+        # ... including the exact-math MXU lane-fill knobs (lane_pad /
+        # image_pad change no numerics and no param shapes)
+        padded = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(cfg.train, image_pad=16),
+            generator=dataclasses.replace(cfg.generator, image_pad=16,
+                                          lane_pad=16, lane_pad_min_ch=8),
+            discriminator=dataclasses.replace(cfg.discriminator, lane_pad=16,
+                                              lane_pad_min_ch=8))
+        mgr.verify_config(padded)
+
         # checkpoints predating config persistence verify as a no-op
         os.remove(str(tmp_path / "ckpt" / "config.json"))
         mgr.verify_config(grown)

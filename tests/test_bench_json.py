@@ -9,9 +9,18 @@ operating point (different step semantics) become the headline.
 import json
 import sys
 
+import pytest
+
 sys.path.insert(0, ".")  # bench.py lives at the repo root, outside the pkg
 
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _no_audit_trail(tmp_path, monkeypatch):
+    """emit() appends to artifacts/bench_runs.jsonl (the evidence trail for
+    real runs); unit-test emissions must not land there."""
+    monkeypatch.setenv("BENCH_AUDIT_PATH", str(tmp_path / "audit.jsonl"))
 
 
 def _emit(capsys, *args, **kw):
@@ -51,3 +60,30 @@ def test_partial_bail_keeps_completed_arms(capsys):
     p = _emit(capsys, {"x": 42.0}, partial="time budget 2400s")
     assert p["value"] == 42.0
     assert p["partial"] == "time budget 2400s"
+
+
+def test_audit_trail_record(capsys, tmp_path, monkeypatch):
+    """Every emission appends a timestamped copy of the payload to the
+    BENCH_AUDIT_PATH jsonl (default artifacts/bench_runs.jsonl) — the
+    evidence trail that survives a lost driver capture. '0' opts out."""
+    path = tmp_path / "trail.jsonl"
+    monkeypatch.setenv("BENCH_AUDIT_PATH", str(path))
+    p1 = _emit(capsys, {"a": 10.0})
+    p2 = _emit(capsys, {}, error="TPU backend unavailable")
+    recs = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(recs) == 2
+    assert recs[0]["value"] == p1["value"] and "utc" in recs[0]
+    assert recs[1]["error"] == p2["error"]
+
+    monkeypatch.setenv("BENCH_AUDIT_PATH", "0")
+    _emit(capsys, {"a": 1.0})
+    assert len(path.read_text().splitlines()) == 2  # unchanged
+
+
+def test_chip_queue_script_parses():
+    """tools/chip_queue.sh is the detached TPU-job queue; a syntax error
+    would only surface when the relay finally answers. bash -n it."""
+    import subprocess
+    r = subprocess.run(
+        ["bash", "-n", "tools/chip_queue.sh"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr

@@ -205,8 +205,13 @@ def main():
     # One lock covers (a) results mutation vs the watchdog's snapshot (a
     # dict resized mid-comprehension raises and would kill the bail before
     # its JSON prints) and (b) the done check-then-set (two JSON lines if
-    # the timer and the main thread finish simultaneously).
-    lock = threading.Lock()
+    # the timer and the main thread finish simultaneously). REENTRANT
+    # because the SIGTERM handler runs on the main thread between bytecodes:
+    # with a plain Lock, a signal landing inside a `with lock:` block would
+    # deadlock the handler against its own thread and nothing would ever
+    # print. (Reentry is safe: the guarded mutations are single bytecodes,
+    # so the handler never observes a half-applied update.)
+    lock = threading.RLock()
 
     def _finish():
         """Atomically claim the right to emit; False if already claimed."""
@@ -231,6 +236,29 @@ def main():
     watchdog.start()
     signal.signal(signal.SIGTERM, lambda *_: _bail("SIGTERM"))
 
+    # Everything below (including the FIRST in-process backend init at the
+    # jax.devices() print — the relay can die between the subprocess probe
+    # and here, and the plugin raises after ~25 min of retries, possibly
+    # before the watchdog budget) must funnel into _bail: an uncaught
+    # exception would kill the process with an empty stdout, the exact
+    # round-3 failure this machinery exists to prevent. Per-arm failures
+    # are still caught per-arm; this is the last-resort net.
+    try:
+        _main_arms(results, lock)
+    except (Exception, KeyboardInterrupt) as e:
+        _bail(f"fatal: {type(e).__name__}: {e}")
+        return
+    snapshot = _finish()
+    if snapshot is not None:
+        watchdog.cancel()
+        if snapshot:
+            emit(snapshot)
+        else:
+            emit({}, error="no arm completed")
+
+
+def _main_arms(results: dict, lock) -> None:
+    """Measure every candidate arm into `results` (under `lock`)."""
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     # Persistent XLA compilation cache: each arm is ~5 min of remote
@@ -238,37 +266,32 @@ def main():
     # the day) shrinks the whole run ~5x. Fail-soft by design — JAX logs
     # and recompiles on any cache read/write problem, and the cache key
     # includes the platform fingerprint, so a stale/foreign entry can't
-    # poison a run. BENCH_COMPILE_CACHE=0 opts out.
-    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
-    if cache_dir and cache_dir != "0":
-        try:
-            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
-            enable_compile_cache(cache_dir)
-            print(f"[bench] compile cache: {cache_dir}", file=sys.stderr)
-        except Exception as e:
-            print(f"[bench] compile cache disabled: {e}", file=sys.stderr)
+    # poison a run. BENCH_COMPILE_CACHE=0 opts out; shared convention with
+    # tools/lanepad_ab.py via enable_bench_cache.
+    from gan_codes_tpu.utils.compile_cache import enable_bench_cache
+    enable_bench_cache(lambda m: print(f"[bench] {m}", file=sys.stderr))
     # Reference-semantics configs only; the headline is the best of these.
-    # (dtype, batch, gp_dtype, xla_vmem_kib): the scoped-VMEM hint is only
-    # applied where it was swept and measured a win (bf16 bs128: 547->563).
-    lane = {"lane_pad": 128, "lane_pad_min_ch": 64}
-    imgpad = {"image_pad": 16}
     # (dtype, batch, gp_dtype, xla_vmem_kib, lane_overrides, image_pad):
     # every arm is exact reference math, so all are headline-eligible; the
     # scoped-VMEM hint is only applied where it was swept and measured a win
-    # (bf16 bs128: 547->563). A bs256 arm was measured once and retired
-    # (548.0 < bs128's 578.7 — already MXU-saturated; PERF.md keeps the
-    # number): every arm is ~5 min of remote compile inside the driver's
-    # bench window, so only potential winners stay.
+    # (bf16 bs128: 547->563). Every arm is ~5 min of remote compile inside
+    # the driver's bench window, so only potential winners stay; retired
+    # after measurement (numbers in PERF.md): bs256 (548.0 — already
+    # MXU-saturated), image_pad 16/32 (553.3/539.3 vs 579.4 baseline) and
+    # lane_pad 128min64 (424.9) — the 2026-08-19 on-chip A/B
+    # (artifacts/r4_chip_queue/ab_bf16.log) measured both padding knobs as
+    # losses, so they stay flag-gated off.
     # Winners-first: if the watchdog truncates the run, the arms already
     # measured should include the headline candidates.
+    lane = {"lane_pad": 128, "lane_pad_min_ch": 64}
     candidates = [
         ("bfloat16", 128, "bfloat16", 65536, None, None),  # bf16 GP
-        # + exact image-boundary padding (RGB 3 -> 16 lanes for G's output
-        # conv and all D forwards; tools/lanepad_ab.py imgpad arms)
-        ("bfloat16", 128, "bfloat16", 65536, None, imgpad),
-        # + exact MXU lane widening of the 64-ch convs (tools/lanepad_ab.py)
-        ("bfloat16", 128, "bfloat16", 65536, lane, None),
         ("float32", 24, "float32", None, None, None),  # the reference point
+        # exact MXU lane widening: a LOSS at bf16 bs128 (424.9) but a small
+        # WIN at the fp32 reference point (+2.1%: four runs, mean 209.1, vs a
+        # 204.9 4-run baseline mean); A/B'd on-chip 2026-08-19
+        # (artifacts/r4_chip_queue/ab_fp32.log + repeats, PERF.md round 4)
+        ("float32", 24, "float32", None, lane, None),
         ("bfloat16", 64, "float32", None, None, None),  # larger batch
     ]
     for dtype, batch, gp, vmem, lane_over, img_over in candidates:
@@ -289,10 +312,7 @@ def main():
             print(f"[bench] {label} failed: {e}", file=sys.stderr)
 
     if not results:
-        if _finish() is not None:
-            watchdog.cancel()
-            emit({}, error="no arm completed")
-        return
+        return  # main() emits the "no arm completed" error JSON
 
     # Extra labeled operating point, NOT headline-eligible: StyleGAN2-style
     # lazy regularization (MA-GP every 4th step, coefficient x4 — equal
@@ -310,10 +330,6 @@ def main():
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] lazy-GP failed: {e}", file=sys.stderr)
-    snapshot = _finish()
-    if snapshot is not None:
-        watchdog.cancel()
-        emit(snapshot)
 
 
 if __name__ == "__main__":

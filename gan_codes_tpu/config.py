@@ -66,6 +66,7 @@ class GeneratorConfig:
     # grad-to-input conv gets a 9*image_pad reduction dim instead of 27.
     # Exact math (zero kernels/bias produce the pad lanes; the slice VJP
     # zero-pads the cotangent); the public output stays [B, H, W, 3].
+    # MEASURED a loss at every operating point (see TrainConfig.image_pad).
     image_pad: int = 0
 
     @property
@@ -112,7 +113,9 @@ class DiscriminatorConfig:
     # EXACT math — pad lanes carry zeros through conv/lrelu/pool (zero
     # kernels in, zero cotangents back; tests/test_parity.py pins it) — and
     # touches no param/checkpoint shapes (weights are padded inside the
-    # traced fn). Perf A/B, not semantics: measure before enabling.
+    # traced fn). MEASURED on-chip 2026-08-19 (PERF.md round-4): a 26% LOSS
+    # at bf16 bs128, a +2.1% WIN at fp32 bs24 (the reference operating
+    # point, the only config where enabling pad=128/min_ch=64 is advised).
     lane_pad: int = 0
     # Only pad convs whose real Cout >= this (roofline: padding 64->128
     # doubles FLOPs at ~2.5x the rate = a win; padding 32->128 quadruples
@@ -224,7 +227,10 @@ class TrainConfig:
     # EXACT math: pad channels are zeros, the stem kernel's matching rows
     # are zeros, and the MA-GP norm is unchanged because the image-grad on
     # pad channels is exactly zero. Param/checkpoint shapes untouched.
-    # Perf A/B, not semantics: measure before enabling.
+    # MEASURED on-chip 2026-08-19 (PERF.md round-4): a LOSS at every
+    # operating point (-3.3% bf16 bs128, -7.6% fp32 bs24) — the unpadded
+    # 3-lane boundary convs were already special-cased by XLA; kept as the
+    # tested negative result. Stays off.
     image_pad: int = 0
 
     @property

@@ -56,9 +56,7 @@ def discriminator_embeds(params: Params, image: jnp.ndarray,
     sliced back to their real width, so downstream logits and losses are
     untouched."""
     stem = params["conv_stem"]
-    stem_out = stem["w"].shape[3]
-    cout = (max(stem_out, lane_pad)
-            if lane_pad and stem_out >= lane_pad_min_ch else stem_out)
+    cout = nn.lane_cout(stem["w"].shape[3], lane_pad, lane_pad_min_ch)
     # Cin always tracks the incoming image width: TrainConfig.image_pad
     # feeds zero-padded image channels (the kernel's matching rows pad to
     # zeros — exact), independent of the lane_pad knob.

@@ -300,21 +300,29 @@ def _adam_moments(opt_sd: Dict, model_sd: Dict, convert_fn):
     if not state:
         return None  # optimizer never stepped; keep a fresh init
     # torch creates per-param Adam state lazily on first grad: a param that
-    # never received a gradient has NO entry. Substitute zero moments (what
-    # torch itself would initialize on that param's first future step) and
+    # never received a gradient has NO entry. Substitute zero moments and
     # say which params were fresh rather than dying on a bare KeyError.
+    # Semantics caveat (inherent to optax's single global count vs torch's
+    # per-param step): torch would bias-correct such a param's first real
+    # update as step 1, while the imported state applies the global count —
+    # a smaller first update for that param only. Exact import of a
+    # partially-stepped optimizer is unrepresentable in a shared-count
+    # Adam; the notice makes the substitution auditable.
     missing = [k for k, i in zip(keys, ids) if i not in state]
     if missing:
         print(f"[torch_import] {len(missing)} param(s) had no Adam state "
-              f"(never received a gradient); zero moments substituted: "
+              f"(never received a gradient); zero moments substituted "
+              f"(bias correction will use the global step count): "
               f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
+    count = next((int(state[i]["step"]) for i in ids if i in state), None)
+    if count is None:
+        return None  # state exists but not for this group: fresh init
 
     def moment(i, k, field):
         return state[i][field] if i in state else model_sd[k] * 0
 
     mu = convert_fn({k: moment(i, k, "exp_avg") for k, i in zip(keys, ids)})
     nu = convert_fn({k: moment(i, k, "exp_avg_sq") for k, i in zip(keys, ids)})
-    count = int(next(state[i]["step"] for i in ids if i in state))
     return mu, nu, count
 
 

@@ -51,10 +51,7 @@ def init_res_block_g(key: jax.Array, in_ch: int, out_ch: int,
 
 def _g_cout(conv: Params, lane_pad: int, lane_pad_min_ch: int) -> int:
     """Padded output width for a G conv under GeneratorConfig.lane_pad."""
-    out_real = conv["w"].shape[3]
-    if lane_pad and out_real >= lane_pad_min_ch:
-        return max(out_real, lane_pad)
-    return out_real
+    return nn.lane_cout(conv["w"].shape[3], lane_pad, lane_pad_min_ch)
 
 
 def _df_block(affine_a: Params, affine_b: Params, conv: Params,
@@ -205,7 +202,7 @@ def res_block_d(params: Params, x: jnp.ndarray, lane_pad: int = 0,
     w1 = params["conv_1"]["w"]
     out_real = w1.shape[3]
     cin = x.shape[-1]
-    cout = max(out_real, lane_pad) if out_real >= lane_pad_min_ch else out_real
+    cout = nn.lane_cout(out_real, lane_pad, lane_pad_min_ch)
     conv_1 = nn.lane_pad_params(params["conv_1"], cin, cout)
     conv_2 = nn.lane_pad_params(params["conv_2"], cout, cout)
     h = nn.conv2d(conv_1, x, stride=2, padding=1)

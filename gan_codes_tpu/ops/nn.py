@@ -109,6 +109,20 @@ def lane_pad_params(params: Params, cin: int, cout: int) -> Params:
     return out
 
 
+def lane_cout(out_real: int, lane_pad: int, lane_pad_min_ch: int) -> int:
+    """Output width of a conv under the lane_pad knob: >= lane_pad lanes,
+    except layers whose real Cout is under lane_pad_min_ch keep natural
+    width (roofline guard — see DiscriminatorConfig.lane_pad).
+
+    THE single copy of this rule: the exactness contract requires
+    producer/consumer widths to agree block-to-block (identity shortcuts
+    assume it), so every site — D blocks, D stem, G blocks — must compute
+    the width identically."""
+    if lane_pad and out_real >= lane_pad_min_ch:
+        return max(out_real, lane_pad)
+    return out_real
+
+
 def pad_channels(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Zero-pad the trailing (channel) dim of `x` up to `n` lanes; no-op when
     already that wide or `n` is 0.

@@ -28,3 +28,23 @@ def enable_compile_cache(directory: str) -> None:
     # Cache every nontrivial compile; tiny eager-init compiles are filtered
     # by the 1s floor.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def enable_bench_cache(log, env: str = "BENCH_COMPILE_CACHE",
+                       default: str = "/tmp/xla_bench_cache") -> None:
+    """The bench-tooling cache convention, in ONE place so bench.py and
+    tools/lanepad_ab.py cannot drift apart (the A/B pre-warms the driver's
+    bench only while both resolve the same env var, default dir, and '0'
+    opt-out). Fail-soft: a cache problem must never cost a measurement run.
+
+    `log` is called with one diagnostic string (route it to stderr in tools
+    whose stdout is a machine-read contract).
+    """
+    directory = os.environ.get(env, default)
+    if not directory or directory == "0":
+        return
+    try:
+        enable_compile_cache(directory)
+        log(f"compile cache: {directory}")
+    except Exception as e:
+        log(f"compile cache disabled: {e}")

@@ -43,15 +43,11 @@ def main():
 
     import bench
 
-    # Share bench.py's persistent compile cache: three of these arms are
-    # also bench candidates, so an A/B run pre-warms the driver's bench.
-    cache_dir = os.environ.get("BENCH_COMPILE_CACHE", "/tmp/xla_bench_cache")
-    if cache_dir and cache_dir != "0":
-        try:
-            from gan_codes_tpu.utils.compile_cache import enable_compile_cache
-            enable_compile_cache(cache_dir)
-        except Exception as e:  # fail-soft like bench.py: never lose a sweep
-            print(f"[lanepad_ab] compile cache disabled: {e}", flush=True)
+    # Share bench.py's persistent compile cache (same env var / default dir
+    # / opt-out, via the one shared helper): arms that are also bench
+    # candidates pre-warm the driver's bench. Fail-soft: never lose a sweep.
+    from gan_codes_tpu.utils.compile_cache import enable_bench_cache
+    enable_bench_cache(lambda m: print(f"[lanepad_ab] {m}", flush=True))
 
     points = {
         # headline point: bf16 bs128, bf16 GP, scoped-VMEM hint

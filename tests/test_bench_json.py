@@ -80,6 +80,29 @@ def test_audit_trail_record(capsys, tmp_path, monkeypatch):
     assert len(path.read_text().splitlines()) == 2  # unchanged
 
 
+def test_fatal_exception_still_emits_partial_json(capsys, monkeypatch):
+    """An exception escaping the arm loop (e.g. the in-process backend init
+    dying AFTER the subprocess probe passed) must funnel into the bail path
+    and print the one JSON line — an empty stdout is the round-3 failure
+    mode this machinery exists to prevent."""
+    monkeypatch.setattr(bench, "probe_backend", lambda *a, **k: True)
+
+    def boom(results, lock):
+        results["done_arm"] = 123.0
+        raise RuntimeError("relay died mid-run")
+
+    monkeypatch.setattr(bench, "_main_arms", boom)
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    p = json.loads(out[0])
+    assert p["partial"].startswith("fatal: RuntimeError")
+    assert p["value"] == 123.0  # completed arms survive the bail
+    assert exits == [0]
+
+
 def test_chip_queue_script_parses():
     """tools/chip_queue.sh is the detached TPU-job queue; a syntax error
     would only surface when the relay finally answers. bash -n it."""

@@ -308,15 +308,19 @@ def _adam_moments(opt_sd: Dict, model_sd: Dict, convert_fn):
     # a smaller first update for that param only. Exact import of a
     # partially-stepped optimizer is unrepresentable in a shared-count
     # Adam; the notice makes the substitution auditable.
+    count = next((int(state[i]["step"]) for i in ids if i in state), None)
+    if count is None:
+        # state exists but not for this group's params: fresh init (print
+        # BEFORE the substitution notice would misdocument the import)
+        print("[torch_import] optimizer state has no entry for any of this "
+              "group's params; fresh Adam init")
+        return None
     missing = [k for k, i in zip(keys, ids) if i not in state]
     if missing:
         print(f"[torch_import] {len(missing)} param(s) had no Adam state "
               f"(never received a gradient); zero moments substituted "
               f"(bias correction will use the global step count): "
               f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
-    count = next((int(state[i]["step"]) for i in ids if i in state), None)
-    if count is None:
-        return None  # state exists but not for this group: fresh init
 
     def moment(i, k, field):
         return state[i][field] if i in state else model_sd[k] * 0

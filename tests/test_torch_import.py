@@ -250,6 +250,45 @@ def _make_ref_adam_sd(model_sd, step=5, seed=20):
             "param_groups": [{"params": list(range(len(model_sd)))}]}
 
 
+class TestLazyAdamState:
+    """torch creates per-param Adam state lazily on first grad; a checkpoint
+    can therefore have params with NO state entry (or none at all for a
+    group). The importer must substitute zero moments / fresh-init instead
+    of crashing (review finding, round 4)."""
+
+    def _sd(self):
+        g = torch.Generator().manual_seed(4)
+        return {"a.weight": torch.randn(3, 2, generator=g),
+                "b.weight": torch.randn(4, generator=g)}
+
+    def test_param_missing_from_state_gets_zero_moments(self, capsys):
+        from gan_codes_tpu.models.torch_import import _adam_moments
+        sd = self._sd()
+        opt = _make_ref_adam_sd(sd, step=9)
+        del opt["state"][1]  # b.weight never received a gradient
+        mu, nu, count = _adam_moments(opt, sd, lambda d: d)
+        assert count == 9
+        np.testing.assert_array_equal(mu["b.weight"].numpy(),
+                                      np.zeros(4, np.float32))
+        np.testing.assert_array_equal(nu["b.weight"].numpy(),
+                                      np.zeros(4, np.float32))
+        # the stepped param's moments import untouched
+        np.testing.assert_array_equal(
+            mu["a.weight"].numpy(), opt["state"][0]["exp_avg"].numpy())
+        assert "zero moments substituted" in capsys.readouterr().out
+
+    def test_no_state_for_any_group_param_is_fresh_init(self, capsys):
+        from gan_codes_tpu.models.torch_import import _adam_moments
+        sd = self._sd()
+        opt = _make_ref_adam_sd(sd)
+        # non-empty state dict whose ids all belong to some OTHER group
+        opt["state"] = {99: opt["state"][0]}
+        assert _adam_moments(opt, sd, lambda d: d) is None
+        out = capsys.readouterr().out
+        assert "fresh Adam init" in out
+        assert "zero moments substituted" not in out  # no misleading notice
+
+
 class TestTrainingCheckpointImport:
     def test_parameters_order_matches_state_dict_order(self):
         """The importer maps optimizer indices to state_dict keys assuming

@@ -126,6 +126,94 @@ class TestTrainerTrajectory:
         expect_ema = ema0
         del expect_ema  # EMA covered in test_losses; params suffice here.
 
+    def test_full_loop_trajectory_with_torch_text_encoder(self):
+        """The strongest end-to-end FID-parity proxy available without
+        pretrained assets: BOTH sides consume raw captions. The torch side
+        encodes with the reference's packed-sequence biLSTM
+        (`src/text_encoder/model.py:33-56`, eval mode — no dropout, as the
+        frozen trainer encoder runs, `src/deep_fusion_gan/model.py:37-39`);
+        the JAX side runs the full jitted step whose masked-scan encoder
+        uses the SAME weights via convert_torch_state_dict. Any drift in
+        the converter, the packed-semantics LSTM, or their composition
+        with the 3-phase trainer shows up in the tracked losses/params."""
+        cfg = _tiny_cfg()
+        state = create_train_state(KEY, cfg)
+        _liven_gammas(state.g_params, 0.30)
+        _liven_gammas(state.d_params, 0.25)
+
+        torch.manual_seed(11)
+        te_cfg = cfg.text_encoder
+        emb = torch.nn.Embedding(te_cfg.vocab_size, te_cfg.embed_dim)
+        lstm = torch.nn.LSTM(te_cfg.embed_dim, te_cfg.per_direction_hidden,
+                             1, batch_first=True, bidirectional=True)
+        sd = {"encoder.weight": emb.weight.detach()}
+        for name, p in lstm.named_parameters():
+            sd[f"rnn.{name}"] = p.detach()
+        from gan_codes_tpu.models.text_encoder import convert_torch_state_dict
+        te = convert_torch_state_dict(sd, te_cfg)
+
+        g0 = jax.tree.map(np.asarray, state.g_params)
+        d0 = jax.tree.map(np.asarray, state.d_params)
+
+        def torch_sents(caps, lens):
+            with torch.no_grad():
+                e = emb(torch.from_numpy(np.asarray(caps, np.int64)))
+                packed = torch.nn.utils.rnn.pack_padded_sequence(
+                    e, np.asarray(lens).tolist(), batch_first=True,
+                    enforce_sorted=False)
+                _, (h_n, _) = lstm(packed)
+                return h_n.transpose(0, 1).reshape(len(lens), -1)
+
+        step = jax.jit(make_train_step(cfg))
+        rngs = jax.random.split(jax.random.PRNGKey(21), 4)
+        batches_torch, jax_metrics = [], []
+        for i in range(4):
+            ki, kc, kl = jax.random.split(rngs[i], 3)
+            images = jax.random.normal(ki, (BATCH, 16, 16, 3)) * 0.5
+            caps = np.array(jax.random.randint(kc, (BATCH, 6), 1, 30))
+            # deliberately unsorted variable lengths: the reference sorts
+            # per batch for pack_padded_sequence; ours must not need to
+            lens = np.array(jax.random.randint(kl, (BATCH,), 2, 7))
+            for b, l in enumerate(lens):
+                caps[b, l:] = 0
+            _, k_noise, _, _, _ = jax.random.split(state.rng, 5)
+            noise = jax.random.normal(k_noise, (BATCH,
+                                                cfg.generator.latent_dim))
+            batches_torch.append((tr.nhwc2nchw(images),
+                                  torch_sents(caps, lens), tr.j2t(noise)))
+            state, m = step(state, te, images, jnp.asarray(caps),
+                            jnp.asarray(lens))
+            jax_metrics.append({k: float(v) for k, v in m.items()})
+
+        t_metrics, t_g, t_d = tr.reference_train_loop(
+            g0, d0, cfg.generator, cfg.loss, cfg.optim, batches_torch)
+
+        # Slightly looser than the shared-embedding test: the two LSTMs
+        # agree to ~5e-5 (their own parity bound), which propagates.
+        for i, (jm, tm) in enumerate(zip(jax_metrics, t_metrics)):
+            for k in ("d_loss", "d_gp_loss", "g_loss"):
+                np.testing.assert_allclose(
+                    jm[k], tm[k], rtol=8e-4, atol=8e-5,
+                    err_msg=f"step {i} {k}: jax={jm[k]} torch={tm[k]}")
+
+        def max_abs_diff(a_tree, b_tree):
+            return max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                       for a, b in zip(tr.tree_leaves(a_tree),
+                                       tr.tree_leaves(b_tree)))
+
+        t_g_np = jax.tree.map(lambda t: t.detach().numpy(), t_g)
+        t_d_np = jax.tree.map(lambda t: t.detach().numpy(), t_d)
+        g_final = jax.tree.map(np.asarray, state.g_params)
+        d_final = jax.tree.map(np.asarray, state.d_params)
+        g_drift = max_abs_diff(g_final, g0)
+        d_drift = max_abs_diff(d_final, d0)
+        g_gap = max_abs_diff(g_final, t_g_np)
+        d_gap = max_abs_diff(d_final, t_d_np)
+        assert g_drift > 2e-4, f"G barely moved ({g_drift})"
+        assert d_drift > 8e-4, f"D barely moved ({d_drift})"
+        assert g_gap < g_drift / 4, f"G diverged: gap={g_gap} drift={g_drift}"
+        assert d_gap < d_drift / 4, f"D diverged: gap={d_gap} drift={d_drift}"
+
     def test_trajectory_catches_phase_misordering(self):
         """Negative control: an oracle variant that computes the G loss
         against the PRE-GP discriminator (wrong staleness) must diverge

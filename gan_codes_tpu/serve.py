@@ -9,7 +9,9 @@ prompts/caption-token batches into images.
 """
 from __future__ import annotations
 
+import json
 import os
+import sys
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -177,27 +179,16 @@ class Sampler:
         return bs * n_batches / dt
 
 
-def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
-         out_dir: str, prompts: Sequence[str],
-         image_size: Optional[int] = None,
-         batch_size: int = 8, use_ema: bool = False, dtype: str = "float32",
-         seed: int = 0, data_parallel: bool = False) -> List[str]:
-    """Batch prompt -> image serving: N prompts through ONE compiled
-    resident pipeline (the production counterpart of `generate.py`'s
-    one-prompt interactive path; reference serving story is
-    `test_generate.py:21-84`, one G forward per script run).
-
-    Writes one PNG per prompt plus a grid; returns the per-prompt paths.
-    `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
-    see Sampler.pipeline). `image_size=None` (the default) rebuilds the
-    model from the checkpoint's persisted config.json; an explicit size is
-    validated against the trained size (weights cannot restore into a
-    different ladder) and only selects the architecture for pre-config
-    weight dirs (which default to the reference's 256px)."""
+def build_sampler(data_dir: str, encoder_weights_path: str,
+                  gen_weights_dir: str, image_size: Optional[int] = None,
+                  batch_size: int = 8, use_ema: bool = False,
+                  dtype: str = "float32", seed: int = 0,
+                  data_parallel: bool = False) -> Tuple[Sampler, int]:
+    """Load vocab/weights and build the resident Sampler (shared by the
+    batch-CLI and HTTP paths); returns (sampler, checkpoint_epoch)."""
     from .generate import load_vocab
     from .models.text_encoder import load_text_encoder
     from .train.checkpoint import CheckpointManager
-    from .utils import image_io
 
     code2word, word2code = load_vocab(data_dir)
     ckpt = CheckpointManager(gen_weights_dir)
@@ -219,8 +210,127 @@ def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
 
         mesh = make_mesh()
         print(f"Serving data-parallel over mesh: {dict(mesh.shape)}")
-    sampler = Sampler(cfg, g_params, te_params, word2code=word2code,
-                      batch_size=batch_size, seed=seed, mesh=mesh)
+    return Sampler(cfg, g_params, te_params, word2code=word2code,
+                   batch_size=batch_size, seed=seed, mesh=mesh), epoch
+
+
+def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
+                     port: int = 0, max_prompts: int = 1024):
+    """HTTP server around a resident `Sampler` (no reference counterpart —
+    the reference's serving story is one script run per prompt,
+    `test_generate.py:21-84`; this is the long-lived production surface).
+
+    Endpoints (JSON, stdlib-only):
+      GET  /healthz            -> {"status": "ok", "batch_size", "image_size"}
+      POST /generate           <- {"prompts": ["a red bird", ...]}
+                                  or {"captions": [[ids...]], "cap_lens": [..]}
+                               -> {"images": [<base64 PNG>, ...], "count": N}
+
+    Returns the bound `ThreadingHTTPServer` (port via `.server_address[1]`);
+    call `.serve_forever()` to block (the CLI does). Handler threads
+    serialize JAX dispatch through one lock — the pipeline is a single
+    compiled program, so concurrency above it buys nothing on one chip.
+    Binds loopback by default; put a real gateway in front for anything
+    public.
+    """
+    import base64
+    import io
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from PIL import Image
+
+    from .utils.image_io import denormalize_to_uint8
+
+    lock = threading.Lock()
+
+    def encode_pngs(images: np.ndarray) -> List[str]:
+        out = []
+        for img in images:
+            buf = io.BytesIO()
+            Image.fromarray(denormalize_to_uint8(
+                np.asarray(img, np.float32))).save(buf, format="PNG")
+            out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        return out
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # route access logs to stderr
+            print(f"[serve-http] {self.address_string()} {fmt % args}",
+                  file=sys.stderr)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._send(404, {"error": "unknown path"})
+            self._send(200, {"status": "ok",
+                             "batch_size": sampler.batch_size,
+                             "image_size": sampler.cfg.generator.image_size})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._send(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompts = req.get("prompts")
+                captions = req.get("captions")
+                if (prompts is None) == (captions is None):
+                    raise ValueError(
+                        "pass exactly one of 'prompts' or 'captions'")
+                count = len(prompts if prompts is not None else captions)
+                if not 0 < count <= max_prompts:
+                    raise ValueError(f"need 1..{max_prompts} items")
+                with lock:
+                    if prompts is not None:
+                        images = sampler.generate_prompts(
+                            [str(p) for p in prompts])
+                    else:
+                        caps = np.asarray(captions, np.int32)
+                        lens = np.asarray(
+                            req.get("cap_lens",
+                                    [len(c) for c in captions]), np.int32)
+                        images = sampler.generate_tokens(caps, lens)
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
+            except Exception as e:  # malformed JSON, wrong shapes, ...
+                return self._send(400,
+                                  {"error": f"{type(e).__name__}: {e}"})
+            self._send(200, {"images": encode_pngs(images),
+                             "count": int(len(images))})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
+         out_dir: str, prompts: Sequence[str],
+         image_size: Optional[int] = None,
+         batch_size: int = 8, use_ema: bool = False, dtype: str = "float32",
+         seed: int = 0, data_parallel: bool = False) -> List[str]:
+    """Batch prompt -> image serving: N prompts through ONE compiled
+    resident pipeline (the production counterpart of `generate.py`'s
+    one-prompt interactive path; reference serving story is
+    `test_generate.py:21-84`, one G forward per script run).
+
+    Writes one PNG per prompt plus a grid; returns the per-prompt paths.
+    `dtype="bfloat16"` serves with bf16 params (noise/activations follow,
+    see Sampler.pipeline). `image_size=None` (the default) rebuilds the
+    model from the checkpoint's persisted config.json; an explicit size is
+    validated against the trained size (weights cannot restore into a
+    different ladder) and only selects the architecture for pre-config
+    weight dirs (which default to the reference's 256px)."""
+    from .utils import image_io
+
+    sampler, epoch = build_sampler(
+        data_dir, encoder_weights_path, gen_weights_dir,
+        image_size=image_size, batch_size=batch_size, use_ema=use_ema,
+        dtype=dtype, seed=seed, data_parallel=data_parallel)
     images = np.asarray(sampler.generate_prompts(list(prompts)),
                         dtype=np.float32)
     paths = [image_io.save_image(img, out_dir, f"serve_{i:04d}")
@@ -260,18 +370,36 @@ if __name__ == "__main__":
                          "invocations skip the pipeline compile")
     ap.add_argument("--prompts-file", default=None,
                     help="file with one prompt per line")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="instead of batch-serving the given prompts, run "
+                         "a resident HTTP server (loopback) with "
+                         "GET /healthz and POST /generate "
+                         '{"prompts": [...]} -> base64 PNGs')
+    ap.add_argument("--http-host", default="127.0.0.1",
+                    help="bind address for --http (default loopback)")
     ap.add_argument("prompts", nargs="*", help="prompts on the command line")
     a = ap.parse_args()
     if a.compile_cache:
         from .utils.compile_cache import enable_compile_cache
 
         enable_compile_cache(a.compile_cache)
-    prompts = list(a.prompts)
-    if a.prompts_file:
-        with open(a.prompts_file) as f:
-            prompts += [l.strip() for l in f if l.strip()]
-    if not prompts:
-        ap.error("no prompts given (positional or --prompts-file)")
-    main(a.data, a.text_encoder, a.weights, a.out, prompts,
-         image_size=a.image_size, batch_size=a.batch_size,
-         use_ema=a.ema, dtype=a.dtype, seed=a.seed, data_parallel=a.dp)
+    if a.http is not None:
+        sampler, epoch = build_sampler(
+            a.data, a.text_encoder, a.weights, image_size=a.image_size,
+            batch_size=a.batch_size, use_ema=a.ema, dtype=a.dtype,
+            seed=a.seed, data_parallel=a.dp)
+        server = make_http_server(sampler, host=a.http_host, port=a.http)
+        print(f"Serving epoch-{epoch} weights on "
+              f"http://{a.http_host}:{server.server_address[1]} "
+              f"(batch {a.batch_size}, {a.dtype})", flush=True)
+        server.serve_forever()
+    else:
+        prompts = list(a.prompts)
+        if a.prompts_file:
+            with open(a.prompts_file) as f:
+                prompts += [l.strip() for l in f if l.strip()]
+        if not prompts:
+            ap.error("no prompts given (positional or --prompts-file)")
+        main(a.data, a.text_encoder, a.weights, a.out, prompts,
+             image_size=a.image_size, batch_size=a.batch_size,
+             use_ema=a.ema, dtype=a.dtype, seed=a.seed, data_parallel=a.dp)

@@ -54,6 +54,73 @@ class TestSampler:
         assert ips > 0
 
 
+class TestHTTPServe:
+    """The resident HTTP surface (serve.make_http_server / `serve --http`)."""
+
+    def _start(self, batch_size=4):
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=batch_size)
+        server = make_http_server(sampler, port=0)  # ephemeral loopback port
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, f"http://127.0.0.1:{server.server_address[1]}"
+
+    def _post(self, url, payload):
+        import json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url + "/generate", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_healthz_generate_and_errors(self):
+        import base64
+        import io
+        import json
+        import urllib.request
+
+        from PIL import Image
+
+        server, url = self._start()
+        try:
+            with urllib.request.urlopen(url + "/healthz") as r:
+                h = json.loads(r.read())
+            assert h["status"] == "ok" and h["batch_size"] == 4
+
+            # free-text prompts -> decodable PNGs at the model's size
+            code, body = self._post(url, {"prompts": ["a red bird",
+                                                      "a blue bird"]})
+            assert code == 200 and body["count"] == 2
+            img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+            assert img.size == (16, 16) and img.mode == "RGB"
+
+            # token path (5 items through the bs-4 pipeline: padding+split)
+            code, body = self._post(
+                url, {"captions": [[2, 3, 0, 0, 0, 0]] * 5,
+                      "cap_lens": [2] * 5})
+            assert code == 200 and body["count"] == 5
+
+            # error paths: both/neither input kinds, malformed JSON
+            code, body = self._post(url, {})
+            assert code == 400 and "exactly one" in body["error"]
+            code, body = self._post(url, {"prompts": ["x"],
+                                          "captions": [[1]]})
+            assert code == 400
+            code, body = self._post(url, {"prompts": []})
+            assert code == 400
+        finally:
+            server.shutdown()
+
+
 class TestServeMain:
     def test_serve_main_end_to_end(self, tmp_path):
         """The batch-serving CLI surface: vocab from the dataset dir, torch

@@ -185,7 +185,12 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
                   dtype: str = "float32", seed: int = 0,
                   data_parallel: bool = False) -> Tuple[Sampler, int]:
     """Load vocab/weights and build the resident Sampler (shared by the
-    batch-CLI and HTTP paths); returns (sampler, checkpoint_epoch)."""
+    batch-CLI and HTTP paths); returns (sampler, checkpoint_epoch).
+
+    This owns the reference's serving load path (`test_generate.py:30-49`:
+    vocab from captions.pickle, text encoder state_dict, latest generator
+    weights by epoch number) with the checkpoint's persisted config
+    resolving the architecture."""
     from .generate import load_vocab
     from .models.text_encoder import load_text_encoder
     from .train.checkpoint import CheckpointManager
@@ -215,7 +220,8 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
 
 
 def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
-                     port: int = 0, max_prompts: int = 1024):
+                     port: int = 0, max_prompts: int = 1024,
+                     max_body_bytes: int = 16 << 20):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
@@ -278,24 +284,44 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 return self._send(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n) or b"{}")
+                if not 0 < n <= max_body_bytes:
+                    raise ValueError(
+                        f"Content-Length must be 1..{max_body_bytes}")
+                req = json.loads(self.rfile.read(n))
                 prompts = req.get("prompts")
                 captions = req.get("captions")
                 if (prompts is None) == (captions is None):
                     raise ValueError(
                         "pass exactly one of 'prompts' or 'captions'")
-                count = len(prompts if prompts is not None else captions)
-                if not 0 < count <= max_prompts:
-                    raise ValueError(f"need 1..{max_prompts} items")
+                items = prompts if prompts is not None else captions
+                if not isinstance(items, list) or \
+                        not 0 < len(items) <= max_prompts:
+                    raise ValueError(
+                        f"need a list of 1..{max_prompts} items")
+                if captions is not None:
+                    # Normalize to the pipeline's compiled [N, max_len]
+                    # width (a request-controlled width would retrace the
+                    # jit under the lock) and validate lengths: len 0 or
+                    # > max_len would silently encode garbage.
+                    max_len = sampler.cfg.text_encoder.max_len
+                    caps = np.zeros((len(captions), max_len), np.int32)
+                    for i, c in enumerate(captions):
+                        row = np.asarray(c, np.int32).reshape(-1)[:max_len]
+                        caps[i, : len(row)] = row
+                    lens = np.asarray(
+                        req.get("cap_lens",
+                                [min(len(c), max_len) for c in captions]),
+                        np.int32).reshape(-1)
+                    if lens.shape != (len(captions),) or (lens < 1).any() \
+                            or (lens > max_len).any():
+                        raise ValueError(
+                            f"cap_lens must be {len(captions)} ints in "
+                            f"1..{max_len}")
                 with lock:
                     if prompts is not None:
                         images = sampler.generate_prompts(
                             [str(p) for p in prompts])
                     else:
-                        caps = np.asarray(captions, np.int32)
-                        lens = np.asarray(
-                            req.get("cap_lens",
-                                    [len(c) for c in captions]), np.int32)
                         images = sampler.generate_tokens(caps, lens)
             except ValueError as e:
                 return self._send(400, {"error": str(e)})

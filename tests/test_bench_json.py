@@ -94,6 +94,9 @@ def test_fatal_exception_still_emits_partial_json(capsys, monkeypatch):
     monkeypatch.setattr(bench, "_main_arms", boom)
     exits = []
     monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    # main() installs a SIGTERM handler; left in place it would swallow a
+    # real SIGTERM sent to this pytest process for the rest of the suite.
+    monkeypatch.setattr(bench.signal, "signal", lambda *a: None)
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1

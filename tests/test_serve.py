@@ -109,6 +109,11 @@ class TestHTTPServe:
                       "cap_lens": [2] * 5})
             assert code == 200 and body["count"] == 5
 
+            # narrow/ragged caption widths are normalized to the compiled
+            # max_len width (no per-request retrace), lens defaulted
+            code, body = self._post(url, {"captions": [[2, 3], [4]]})
+            assert code == 200 and body["count"] == 2
+
             # error paths: both/neither input kinds, malformed JSON
             code, body = self._post(url, {})
             assert code == 400 and "exactly one" in body["error"]
@@ -117,8 +122,22 @@ class TestHTTPServe:
             assert code == 400
             code, body = self._post(url, {"prompts": []})
             assert code == 400
+            # non-list payloads must not be iterated char-by-char
+            code, body = self._post(url, {"prompts": "a red bird"})
+            assert code == 400 and "list" in body["error"]
+            # zero/oversized cap_lens would encode garbage silently
+            code, body = self._post(url, {"captions": [[2, 3]],
+                                          "cap_lens": [0]})
+            assert code == 400 and "cap_lens" in body["error"]
+            code, body = self._post(url, {"captions": [[2, 3]],
+                                          "cap_lens": [99]})
+            assert code == 400 and "cap_lens" in body["error"]
+            # an all-empty caption row has no valid default length
+            code, body = self._post(url, {"captions": [[]]})
+            assert code == 400 and "cap_lens" in body["error"]
         finally:
             server.shutdown()
+            server.server_close()  # release the listening socket fd
 
 
 class TestServeMain:

@@ -230,7 +230,14 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
       GET  /healthz            -> {"status": "ok", "batch_size", "image_size"}
       POST /generate           <- {"prompts": ["a red bird", ...]}
                                   or {"captions": [[ids...]], "cap_lens": [..]}
-                               -> {"images": [<base64 PNG>, ...], "count": N}
+                                  + optional "format": "png" (default) |
+                                    "jpeg", "quality": 1..100 (jpeg, def 95)
+                               -> {"images": [<base64>, ...], "count": N,
+                                   "format": "png"|"jpeg"}
+
+    PNG encode is the host-side wall at batch scale (measured ~35-50 img/s
+    at 256px on a 1-vCPU serving host vs 4500+ img/s through the TPU
+    pipeline); "jpeg" encodes ~10x faster (~400 img/s) at ~half the bytes.
 
     Returns the bound `ThreadingHTTPServer` (port via `.server_address[1]`);
     call `.serve_forever()` to block (the CLI does). Handler threads
@@ -250,12 +257,13 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
 
     lock = threading.Lock()
 
-    def encode_pngs(images: np.ndarray) -> List[str]:
+    def encode_images(images: np.ndarray, fmt: str, quality: int) -> List[str]:
+        kw = {"quality": quality} if fmt == "JPEG" else {}
         out = []
         for img in images:
             buf = io.BytesIO()
             Image.fromarray(denormalize_to_uint8(
-                np.asarray(img, np.float32))).save(buf, format="PNG")
+                np.asarray(img, np.float32))).save(buf, format=fmt, **kw)
             out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
         return out
 
@@ -298,6 +306,12 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                         not 0 < len(items) <= max_prompts:
                     raise ValueError(
                         f"need a list of 1..{max_prompts} items")
+                fmt = str(req.get("format", "png")).lower()
+                if fmt not in ("png", "jpeg"):
+                    raise ValueError("format must be 'png' or 'jpeg'")
+                quality = int(req.get("quality", 95))
+                if not 1 <= quality <= 100:
+                    raise ValueError("quality must be 1..100")
                 if captions is not None:
                     # Normalize to the pipeline's compiled [N, max_len]
                     # width (a request-controlled width would retrace the
@@ -328,8 +342,9 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
             except Exception as e:  # malformed JSON, wrong shapes, ...
                 return self._send(400,
                                   {"error": f"{type(e).__name__}: {e}"})
-            self._send(200, {"images": encode_pngs(images),
-                             "count": int(len(images))})
+            self._send(200, {"images": encode_images(images, fmt.upper(),
+                                                     quality),
+                             "count": int(len(images)), "format": fmt})
 
     return ThreadingHTTPServer((host, port), Handler)
 

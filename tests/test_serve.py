@@ -114,6 +114,16 @@ class TestHTTPServe:
             code, body = self._post(url, {"captions": [[2, 3], [4]]})
             assert code == 200 and body["count"] == 2
 
+            # jpeg is the fast-encode production format (~10x png)
+            code, body = self._post(url, {"prompts": ["a red bird"],
+                                          "format": "jpeg", "quality": 90})
+            assert code == 200 and body["format"] == "jpeg"
+            img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+            assert img.format == "JPEG" and img.size == (16, 16)
+            code, body = self._post(url, {"prompts": ["x"],
+                                          "format": "webp"})
+            assert code == 400 and "format" in body["error"]
+
             # error paths: both/neither input kinds, malformed JSON
             code, body = self._post(url, {})
             assert code == 400 and "exactly one" in body["error"]

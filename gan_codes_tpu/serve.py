@@ -111,6 +111,25 @@ class Sampler:
             outs.append(np.asarray(jax.device_get(img))[: bs - pad or bs])
         return np.concatenate(outs, axis=0)[:n]
 
+    def warmup(self) -> float:
+        """Compile + execute the pipeline once on a dummy batch so the
+        first real request doesn't pay the (remote) compile; returns the
+        wall seconds spent. Uses a fixed throwaway key, NOT self._rng, so
+        the served noise stream is identical with or without warmup."""
+        import time as _t
+
+        t0 = _t.perf_counter()
+        max_len = self.cfg.text_encoder.max_len
+        noise = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (self.batch_size, self.cfg.generator.latent_dim))
+        out = self._pipeline(
+            self._g_params, self._te_params,
+            jnp.ones((self.batch_size, max_len), jnp.int32),
+            jnp.ones((self.batch_size,), jnp.int32), noise)
+        np.asarray(out)  # value fetch = real sync through the relay
+        return _t.perf_counter() - t0
+
     def generate_prompts(self, prompts: Sequence[str]) -> np.ndarray:
         """Free-text prompts -> images (tokenization per reference
         `test_generate.py:12-19`)."""
@@ -418,6 +437,9 @@ if __name__ == "__main__":
                          '{"prompts": [...]} -> base64 PNGs')
     ap.add_argument("--http-host", default="127.0.0.1",
                     help="bind address for --http (default loopback)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the startup pipeline warmup (first request "
+                         "then pays the compile)")
     ap.add_argument("prompts", nargs="*", help="prompts on the command line")
     a = ap.parse_args()
     if a.compile_cache:
@@ -429,6 +451,10 @@ if __name__ == "__main__":
             a.data, a.text_encoder, a.weights, image_size=a.image_size,
             batch_size=a.batch_size, use_ema=a.ema, dtype=a.dtype,
             seed=a.seed, data_parallel=a.dp)
+        if not a.no_warmup:
+            print("Warming the pipeline (compile + one dummy batch)...",
+                  flush=True)
+            print(f"Pipeline warm in {sampler.warmup():.1f}s", flush=True)
         server = make_http_server(sampler, host=a.http_host, port=a.http)
         print(f"Serving epoch-{epoch} weights on "
               f"http://{a.http_host}:{server.server_address[1]} "

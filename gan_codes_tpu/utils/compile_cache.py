@@ -25,9 +25,12 @@ def enable_compile_cache(directory: str) -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(directory))
-    # Cache every nontrivial compile; tiny eager-init compiles are filtered
-    # by the 1s floor.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERY compile, including sub-second ones (floor 0 overrides
+    # JAX's 1s default): through the remote-TPU relay each tiny program
+    # (weight casts, threefry seeds, ... — ~18 of them before serve's
+    # first batch) costs a full compile round-trip per process, which the
+    # default floor would re-pay on every invocation.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def enable_bench_cache(log, env: str = "BENCH_COMPILE_CACHE",

@@ -53,6 +53,16 @@ class TestSampler:
         ips = s.throughput(n_batches=3)
         assert ips > 0
 
+    def test_warmup_preserves_noise_stream(self):
+        """warmup() compiles/executes but must not advance the serving
+        RNG: a warmed server serves the same images as a cold one."""
+        caps = np.ones((2, 6), np.int32)
+        lens = np.full((2,), 6, np.int32)
+        cold = make_sampler().generate_tokens(caps, lens)
+        warmed = make_sampler()
+        assert warmed.warmup() > 0
+        assert np.array_equal(warmed.generate_tokens(caps, lens), cold)
+
 
 class TestHTTPServe:
     """The resident HTTP surface (serve.make_http_server / `serve --http`)."""

@@ -173,7 +173,9 @@ class TestConfigFromDict:
 class TestCompileCache:
     def test_enable_sets_jax_config(self, tmp_path, monkeypatch):
         """The shared --compile-cache helper points JAX's persistent cache
-        at the directory (absolute) with a 1s compile-time floor."""
+        at the directory (absolute) and caches EVERY compile (floor 0):
+        through the remote-TPU relay even sub-second programs cost a full
+        round-trip per process."""
         import jax
 
         from gan_codes_tpu.utils.compile_cache import enable_compile_cache
@@ -184,7 +186,7 @@ class TestCompileCache:
             enable_compile_cache(str(tmp_path / "cache"))
             assert jax.config.jax_compilation_cache_dir == str(
                 tmp_path / "cache")
-            assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+            assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
         finally:
             jax.config.update("jax_compilation_cache_dir", prev_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",

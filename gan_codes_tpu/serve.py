@@ -459,7 +459,22 @@ if __name__ == "__main__":
         print(f"Serving epoch-{epoch} weights on "
               f"http://{a.http_host}:{server.server_address[1]} "
               f"(batch {a.batch_size}, {a.dtype})", flush=True)
+
+        # Graceful stop: SIGTERM/SIGINT end serve_forever's loop (in-flight
+        # handler threads run to completion) instead of killing mid-request.
+        # shutdown() must not run on the serve_forever thread -> spawn one.
+        import signal
+        import threading
+
+        def _stop(signum, _frame):
+            print(f"Signal {signum}: stopping server...", flush=True)
+            threading.Thread(target=server.shutdown, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
         server.serve_forever()
+        server.server_close()
+        print("Server stopped", flush=True)
     else:
         prompts = list(a.prompts)
         if a.prompts_file:

@@ -240,7 +240,8 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
 
 def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      port: int = 0, max_prompts: int = 1024,
-                     max_body_bytes: int = 16 << 20):
+                     max_body_bytes: int = 16 << 20,
+                     max_inflight: int = 64):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
@@ -262,6 +263,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     call `.serve_forever()` to block (the CLI does). Handler threads
     serialize JAX dispatch through one lock — the pipeline is a single
     compiled program, so concurrency above it buys nothing on one chip.
+    /generate requests beyond `max_inflight` are shed with a 503 instead
+    of queueing unboundedly (each queued request holds a thread + body).
     Binds loopback by default; put a real gateway in front for anything
     public.
     """
@@ -275,6 +278,11 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     from .utils.image_io import denormalize_to_uint8
 
     lock = threading.Lock()
+    # Load shedding: dispatch is serialized through `lock`, so each request
+    # beyond the one running just holds a thread + its decoded body in RAM.
+    # Past max_inflight queued /generate requests, answer 503 immediately
+    # instead of queueing unboundedly.
+    inflight = threading.BoundedSemaphore(max_inflight)
 
     def encode_images(images: np.ndarray, fmt: str, quality: int) -> List[str]:
         kw = {"quality": quality} if fmt == "JPEG" else {}
@@ -309,6 +317,15 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
         def do_POST(self):
             if self.path != "/generate":
                 return self._send(404, {"error": "unknown path"})
+            if not inflight.acquire(blocking=False):
+                return self._send(503, {"error": "server busy: "
+                                        f"{max_inflight} requests in flight"})
+            try:
+                self._generate()
+            finally:
+                inflight.release()
+
+        def _generate(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= max_body_bytes:
@@ -437,6 +454,10 @@ if __name__ == "__main__":
                          '{"prompts": [...]} -> base64 PNGs')
     ap.add_argument("--http-host", default="127.0.0.1",
                     help="bind address for --http (default loopback)")
+    ap.add_argument("--max-inflight", type=int, default=64,
+                    help="concurrent /generate requests beyond this are "
+                         "shed with a 503 instead of queueing (each queued "
+                         "request holds a thread + its body)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the startup pipeline warmup (first request "
                          "then pays the compile)")
@@ -455,7 +476,8 @@ if __name__ == "__main__":
             print("Warming the pipeline (compile + one dummy batch)...",
                   flush=True)
             print(f"Pipeline warm in {sampler.warmup():.1f}s", flush=True)
-        server = make_http_server(sampler, host=a.http_host, port=a.http)
+        server = make_http_server(sampler, host=a.http_host, port=a.http,
+                                  max_inflight=a.max_inflight)
         print(f"Serving epoch-{epoch} weights on "
               f"http://{a.http_host}:{server.server_address[1]} "
               f"(batch {a.batch_size}, {a.dtype})", flush=True)

@@ -159,6 +159,48 @@ class TestHTTPServe:
             server.shutdown()
             server.server_close()  # release the listening socket fd
 
+    def test_load_shedding_503(self):
+        """Requests beyond max_inflight are shed with a 503 instead of
+        queueing a thread + body each behind the dispatch lock."""
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        gate, entered = threading.Event(), threading.Event()
+        real = sampler.generate_prompts
+
+        def stub(prompts):
+            entered.set()
+            gate.wait(30)
+            return real(prompts)
+
+        sampler.generate_prompts = stub
+        server = make_http_server(sampler, port=0, max_inflight=1)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            first = {}
+
+            def blocked():
+                first["resp"] = self._post(url, {"prompts": ["a bird"]})
+
+            t1 = threading.Thread(target=blocked)
+            t1.start()
+            # Once the first request is inside the handler it holds the one
+            # inflight slot (blocked on `gate`); the overlap must shed 503.
+            assert entered.wait(30)
+            code, body = self._post(url, {"prompts": ["another"]})
+            assert code == 503 and "busy" in body["error"]
+            gate.set()
+            t1.join(60)
+            assert first["resp"][0] == 200  # the held request completes
+        finally:
+            gate.set()
+            server.shutdown()
+            server.server_close()
+
 
 class TestServeMain:
     def test_serve_main_end_to_end(self, tmp_path):

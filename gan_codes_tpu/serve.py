@@ -277,6 +277,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
 
     from .utils.image_io import denormalize_to_uint8
 
+    if max_inflight < 1:
+        raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
     lock = threading.Lock()
     # Load shedding: dispatch is serialized through `lock`, so each request
     # beyond the one running just holds a thread + its decoded body in RAM.
@@ -314,10 +316,29 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                              "batch_size": sampler.batch_size,
                              "image_size": sampler.cfg.generator.image_size})
 
+        def _drain_body(self):
+            """Consume the unread request body (bounded by max_body_bytes)
+            before an error response on paths that never read it (503
+            shed, POST 404, bad Content-Length): closing the socket with
+            body bytes still in flight RSTs the connection and the client
+            sees a reset instead of the status code."""
+            try:
+                n = min(int(self.headers.get("Content-Length", 0)),
+                        max_body_bytes)
+            except (TypeError, ValueError):
+                return
+            while n > 0:
+                chunk = self.rfile.read(min(n, 1 << 16))
+                if not chunk:
+                    break
+                n -= len(chunk)
+
         def do_POST(self):
             if self.path != "/generate":
+                self._drain_body()
                 return self._send(404, {"error": "unknown path"})
             if not inflight.acquire(blocking=False):
+                self._drain_body()
                 return self._send(503, {"error": "server busy: "
                                         f"{max_inflight} requests in flight"})
             try:
@@ -329,6 +350,7 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= max_body_bytes:
+                    self._drain_body()
                     raise ValueError(
                         f"Content-Length must be 1..{max_body_bytes}")
                 req = json.loads(self.rfile.read(n))
@@ -382,7 +404,15 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                                                      quality),
                              "count": int(len(images)), "format": fmt})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    # ThreadingHTTPServer defaults to DAEMON handler threads, which
+    # socketserver._Threads.append does not track — server_close() would
+    # join nothing and process exit would kill in-flight handlers
+    # mid-response. Non-daemon threads give the documented graceful-stop
+    # semantics: shutdown() ends the accept loop, server_close() joins
+    # the in-flight handlers to completion.
+    server.daemon_threads = False
+    return server
 
 
 def main(data_dir: str, encoder_weights_path: str, gen_weights_dir: str,
@@ -463,6 +493,8 @@ if __name__ == "__main__":
                          "then pays the compile)")
     ap.add_argument("prompts", nargs="*", help="prompts on the command line")
     a = ap.parse_args()
+    if a.max_inflight < 1:
+        ap.error(f"--max-inflight must be >= 1, got {a.max_inflight}")
     if a.compile_cache:
         from .utils.compile_cache import enable_compile_cache
 
@@ -472,28 +504,40 @@ if __name__ == "__main__":
             a.data, a.text_encoder, a.weights, image_size=a.image_size,
             batch_size=a.batch_size, use_ema=a.ema, dtype=a.dtype,
             seed=a.seed, data_parallel=a.dp)
-        if not a.no_warmup:
-            print("Warming the pipeline (compile + one dummy batch)...",
-                  flush=True)
-            print(f"Pipeline warm in {sampler.warmup():.1f}s", flush=True)
+        # Bind BEFORE the warmup: a port conflict must fail fast, not
+        # after minutes of pipeline compile. (Connections arriving before
+        # serve_forever just wait in the listen backlog.)
         server = make_http_server(sampler, host=a.http_host, port=a.http,
                                   max_inflight=a.max_inflight)
-        print(f"Serving epoch-{epoch} weights on "
-              f"http://{a.http_host}:{server.server_address[1]} "
-              f"(batch {a.batch_size}, {a.dtype})", flush=True)
-
         # Graceful stop: SIGTERM/SIGINT end serve_forever's loop (in-flight
         # handler threads run to completion) instead of killing mid-request.
         # shutdown() must not run on the serve_forever thread -> spawn one.
+        # Installed BEFORE the warmup: warmup can take minutes (remote
+        # compile), and a signal there would otherwise hard-kill the
+        # process with accepted connections in the backlog. shutdown()
+        # just sets the stop flag, so a during-warmup signal makes the
+        # post-warmup serve_forever() return immediately — a clean
+        # no-serve exit once the (uninterruptible) compile finishes.
         import signal
         import threading
 
+        stopping = threading.Event()
+
         def _stop(signum, _frame):
             print(f"Signal {signum}: stopping server...", flush=True)
+            stopping.set()
             threading.Thread(target=server.shutdown, daemon=True).start()
 
         signal.signal(signal.SIGTERM, _stop)
         signal.signal(signal.SIGINT, _stop)
+        if not a.no_warmup:
+            print("Warming the pipeline (compile + one dummy batch)...",
+                  flush=True)
+            print(f"Pipeline warm in {sampler.warmup():.1f}s", flush=True)
+        if not stopping.is_set():
+            print(f"Serving epoch-{epoch} weights on "
+                  f"http://{a.http_host}:{server.server_address[1]} "
+                  f"(batch {a.batch_size}, {a.dtype})", flush=True)
         server.serve_forever()
         server.server_close()
         print("Server stopped", flush=True)

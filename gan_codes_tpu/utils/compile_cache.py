@@ -29,7 +29,10 @@ def enable_compile_cache(directory: str) -> None:
     # JAX's 1s default): through the remote-TPU relay each tiny program
     # (weight casts, threefry seeds, ... — ~18 of them before serve's
     # first batch) costs a full compile round-trip per process, which the
-    # default floor would re-pay on every invocation.
+    # default floor would re-pay on every invocation. Deliberately global
+    # to all callers (train/generate/serve/bench): everything in this
+    # image compiles through the relay; the cost is a KB-scale cache
+    # entry + one write per tiny program.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 

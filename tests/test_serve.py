@@ -201,6 +201,90 @@ class TestHTTPServe:
             server.shutdown()
             server.server_close()
 
+    def test_max_inflight_validated(self):
+        import pytest
+
+        from gan_codes_tpu.serve import make_http_server
+
+        with pytest.raises(ValueError, match="max_inflight"):
+            make_http_server(make_sampler(), port=0, max_inflight=0)
+
+    def test_shed_503_readable_with_large_body(self):
+        """The shed path must DRAIN the unread request body before
+        responding: closing the socket with megabytes still in flight
+        RSTs the connection and the client never sees the 503."""
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        gate, entered = threading.Event(), threading.Event()
+        real = sampler.generate_prompts
+
+        def stub(prompts):
+            entered.set()
+            gate.wait(30)
+            return real(prompts)
+
+        sampler.generate_prompts = stub
+        server = make_http_server(sampler, port=0, max_inflight=1)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            t1 = threading.Thread(target=self._post, args=(
+                url, {"prompts": ["a bird"]}), daemon=True)
+            t1.start()
+            assert entered.wait(30)
+            # 8 MB body (beyond loopback socket buffers): without the
+            # drain, urllib raises ConnectionReset/BrokenPipe mid-send.
+            code, body = self._post(
+                url, {"prompts": ["x"], "pad": "x" * (8 << 20)})
+            assert code == 503 and "busy" in body["error"]
+        finally:
+            gate.set()
+            server.shutdown()
+            server.server_close()
+
+    def test_close_joins_inflight_handlers(self):
+        """server_close() must block until in-flight handlers finish
+        (non-daemon handler threads) — the graceful-stop contract; the
+        ThreadingHTTPServer default silently joins nothing."""
+        import threading
+        import time
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        gate, entered = threading.Event(), threading.Event()
+        real = sampler.generate_prompts
+
+        def stub(prompts):
+            entered.set()
+            gate.wait(30)
+            return real(prompts)
+
+        sampler.generate_prompts = stub
+        server = make_http_server(sampler, port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        first = {}
+
+        def held():
+            first["resp"] = self._post(url, {"prompts": ["a bird"]})
+
+        t1 = threading.Thread(target=held)
+        t1.start()
+        assert entered.wait(30)
+        server.shutdown()  # stop the accept loop; handler still running
+        threading.Timer(0.5, gate.set).start()
+        t0 = time.monotonic()
+        server.server_close()  # must join the in-flight handler
+        assert time.monotonic() - t0 >= 0.4
+        t1.join(60)
+        assert first["resp"][0] == 200  # ran to completion, not killed
+
 
 class TestServeMain:
     def test_serve_main_end_to_end(self, tmp_path):

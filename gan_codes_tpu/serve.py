@@ -86,6 +86,34 @@ class Sampler:
         self._rng, k = jax.random.split(self._rng)
         return jax.random.normal(k, (n, self.cfg.generator.latent_dim))
 
+    def swap_generator_params(self, g_params: Params) -> None:
+        """Hot-swap the served generator params without a restart (weight
+        reload — e.g. pick up a newer `gen_N` while the trainer is still
+        running). The new tree must match the compiled pipeline's structure
+        and leaf shapes exactly, so the jitted program is reused as-is (no
+        retrace, no warm-up hit); leaves are cast to the pipeline's dtypes
+        and placed with the same (replicated, under DP) sharding.
+
+        NOT thread-safe on its own: callers serialize against in-flight
+        generates (the HTTP layer swaps under its dispatch lock)."""
+        old = self._g_params
+        if jax.tree.structure(g_params) != jax.tree.structure(old):
+            raise ValueError(
+                "new generator params have a different tree structure than "
+                "the compiled pipeline's (architecture mismatch?)")
+        errs: List[str] = []
+        jax.tree_util.tree_map_with_path(
+            lambda path, n, o: errs.append(
+                f"{jax.tree_util.keystr(path)}: {tuple(n.shape)} != "
+                f"{tuple(o.shape)}") if tuple(n.shape) != tuple(o.shape)
+            else None, g_params, old)
+        if errs:
+            raise ValueError("new generator params' shapes do not match the "
+                             "compiled pipeline's: " + "; ".join(errs))
+        new = jax.tree.map(lambda n, o: jnp.asarray(n, o.dtype), g_params, old)
+        self._g_params = jax.device_put(
+            new, self._shardings[0]) if self._shardings else jax.device_put(new)
+
     def generate_tokens(self, captions: np.ndarray,
                         cap_lens: np.ndarray) -> np.ndarray:
         """Token batch [N, T] + lengths [N] -> images [N, H, W, 3] in [-1,1].
@@ -219,14 +247,23 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
     cfg = ckpt.resolve_inference_config(vocab_size=len(code2word),
                                         image_size=image_size)
     te_params = load_text_encoder(encoder_weights_path, cfg.text_encoder)
-    gen_tree, epoch = ckpt.restore_generator_tree(cfg.generator)
-    g_params = gen_tree["g_ema_params" if use_ema else "g_params"]
 
+    def load_generator(epoch: Optional[int] = None) -> Tuple[Params, int]:
+        """Restore g (or EMA) params at `epoch` (None = latest gen_N) at
+        the serving dtype — the initial load AND the hot-reload path."""
+        tree, ep = ckpt.restore_generator_tree(cfg.generator, epoch=epoch)
+        g = tree["g_ema_params" if use_ema else "g_params"]
+        if dtype == "bfloat16":
+            g = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, g)
+        return g, ep
+
+    g_params, epoch = load_generator()
     if dtype == "bfloat16":
-        cast = lambda t: jax.tree.map(
+        te_params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-        g_params, te_params = cast(g_params), cast(te_params)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, te_params)
 
     mesh = None
     if data_parallel:
@@ -234,26 +271,43 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
 
         mesh = make_mesh()
         print(f"Serving data-parallel over mesh: {dict(mesh.shape)}")
-    return Sampler(cfg, g_params, te_params, word2code=word2code,
-                   batch_size=batch_size, seed=seed, mesh=mesh), epoch
+    sampler = Sampler(cfg, g_params, te_params, word2code=word2code,
+                      batch_size=batch_size, seed=seed, mesh=mesh)
+    # Weight hot-reload hook for the HTTP layer (`POST /reload`): re-read
+    # gen_N from the same weights dir and swap via swap_generator_params.
+    sampler.reload_generator = load_generator
+    return sampler, epoch
 
 
 def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      port: int = 0, max_prompts: int = 1024,
                      max_body_bytes: int = 16 << 20,
-                     max_inflight: int = 64):
+                     max_inflight: int = 64,
+                     epoch: Optional[int] = None,
+                     reloader=None):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
 
     Endpoints (JSON, stdlib-only):
-      GET  /healthz            -> {"status": "ok", "batch_size", "image_size"}
+      GET  /healthz            -> {"status": "ok", "batch_size",
+                                   "image_size", "epoch"}
+      GET  /metrics            -> request/shed/error/image counters +
+                                  generate-latency sums (JSON; scrape or
+                                  diff between polls for rates)
       POST /generate           <- {"prompts": ["a red bird", ...]}
                                   or {"captions": [[ids...]], "cap_lens": [..]}
                                   + optional "format": "png" (default) |
                                     "jpeg", "quality": 1..100 (jpeg, def 95)
                                -> {"images": [<base64>, ...], "count": N,
                                    "format": "png"|"jpeg"}
+      POST /reload             <- {} or {"epoch": N} — hot-swap the served
+                                  generator weights from the weights dir
+                                  (latest gen_N, or an explicit epoch)
+                                  without restarting or recompiling; swaps
+                                  atomically w.r.t. in-flight generates.
+                                  Requires `reloader` (the CLI wires
+                                  `build_sampler`'s; epoch -> /healthz).
 
     PNG encode is the host-side wall at batch scale (measured ~35-50 img/s
     at 256px on a 1-vCPU serving host vs 4500+ img/s through the TPU
@@ -277,6 +331,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
 
     from .utils.image_io import denormalize_to_uint8
 
+    import time
+
     if max_inflight < 1:
         raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
     lock = threading.Lock()
@@ -285,6 +341,19 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     # Past max_inflight queued /generate requests, answer 503 immediately
     # instead of queueing unboundedly.
     inflight = threading.BoundedSemaphore(max_inflight)
+    # One restore at a time (restores are seconds of disk+device_put; the
+    # actual swap still happens under `lock`, atomically w.r.t. generates).
+    reload_lock = threading.Lock()
+    stats_lock = threading.Lock()
+    stats = {"requests_total": 0, "generate_ok": 0, "generate_error": 0,
+             "shed_total": 0, "images_total": 0, "reloads_total": 0,
+             "generate_seconds_total": 0.0, "last_generate_seconds": 0.0}
+    state = {"epoch": epoch}
+
+    def bump(**deltas):
+        with stats_lock:
+            for k, v in deltas.items():
+                stats[k] += v
 
     def encode_images(images: np.ndarray, fmt: str, quality: int) -> List[str]:
         kw = {"quality": quality} if fmt == "JPEG" else {}
@@ -299,22 +368,38 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # Client gone (e.g. timed out while queued in the listen
+                # backlog during warmup): nothing to answer and nothing
+                # wrong server-side — don't spray a traceback per request
+                # (observed live driving `serve --http`).
+                self.close_connection = True
 
         def log_message(self, fmt, *args):  # route access logs to stderr
             print(f"[serve-http] {self.address_string()} {fmt % args}",
                   file=sys.stderr)
 
         def do_GET(self):
-            if self.path != "/healthz":
-                return self._send(404, {"error": "unknown path"})
-            self._send(200, {"status": "ok",
-                             "batch_size": sampler.batch_size,
-                             "image_size": sampler.cfg.generator.image_size})
+            bump(requests_total=1)
+            if self.path == "/healthz":
+                return self._send(
+                    200, {"status": "ok",
+                          "batch_size": sampler.batch_size,
+                          "image_size": sampler.cfg.generator.image_size,
+                          "epoch": state["epoch"]})
+            if self.path == "/metrics":
+                with stats_lock:
+                    snap = dict(stats)
+                snap.update(epoch=state["epoch"], max_inflight=max_inflight,
+                            batch_size=sampler.batch_size)
+                return self._send(200, snap)
+            self._send(404, {"error": "unknown path"})
 
         def _drain_body(self):
             """Consume the unread request body (bounded by max_body_bytes)
@@ -334,11 +419,15 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 n -= len(chunk)
 
         def do_POST(self):
+            bump(requests_total=1)
+            if self.path == "/reload":
+                return self._reload()
             if self.path != "/generate":
                 self._drain_body()
                 return self._send(404, {"error": "unknown path"})
             if not inflight.acquire(blocking=False):
                 self._drain_body()
+                bump(shed_total=1)
                 return self._send(503, {"error": "server busy: "
                                         f"{max_inflight} requests in flight"})
             try:
@@ -346,7 +435,39 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
             finally:
                 inflight.release()
 
+        def _reload(self):
+            if reloader is None:
+                self._drain_body()
+                return self._send(
+                    400, {"error": "reload not available: server was built "
+                          "without a weights-directory reloader"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if not 0 <= n <= max_body_bytes:
+                    self._drain_body()
+                    raise ValueError(
+                        f"Content-Length must be 0..{max_body_bytes}")
+                req = json.loads(self.rfile.read(n)) if n else {}
+                want = req.get("epoch")
+                if want is not None:
+                    want = int(want)
+                with reload_lock:
+                    params, ep = reloader(epoch=want)
+                    with lock:  # atomic w.r.t. in-flight generates
+                        sampler.swap_generator_params(params)
+                        state["epoch"] = ep
+            except FileNotFoundError as e:
+                return self._send(404, {"error": str(e)})
+            except (ValueError, TypeError) as e:
+                return self._send(400, {"error": str(e)})
+            except Exception as e:  # corrupt checkpoint, restore failure
+                return self._send(500,
+                                  {"error": f"{type(e).__name__}: {e}"})
+            bump(reloads_total=1)
+            self._send(200, {"status": "ok", "epoch": ep})
+
         def _generate(self):
+            t0 = time.perf_counter()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= max_body_bytes:
@@ -396,10 +517,18 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                     else:
                         images = sampler.generate_tokens(caps, lens)
             except ValueError as e:
+                bump(generate_error=1)
                 return self._send(400, {"error": str(e)})
             except Exception as e:  # malformed JSON, wrong shapes, ...
+                bump(generate_error=1)
                 return self._send(400,
                                   {"error": f"{type(e).__name__}: {e}"})
+            dt = time.perf_counter() - t0
+            with stats_lock:
+                stats["generate_ok"] += 1
+                stats["images_total"] += int(len(images))
+                stats["generate_seconds_total"] += dt
+                stats["last_generate_seconds"] = dt
             self._send(200, {"images": encode_images(images, fmt.upper(),
                                                      quality),
                              "count": int(len(images)), "format": fmt})
@@ -508,7 +637,8 @@ if __name__ == "__main__":
         # after minutes of pipeline compile. (Connections arriving before
         # serve_forever just wait in the listen backlog.)
         server = make_http_server(sampler, host=a.http_host, port=a.http,
-                                  max_inflight=a.max_inflight)
+                                  max_inflight=a.max_inflight, epoch=epoch,
+                                  reloader=sampler.reload_generator)
         # Graceful stop: SIGTERM/SIGINT end serve_forever's loop (in-flight
         # handler threads run to completion) instead of killing mid-request.
         # shutdown() must not run on the serve_forever thread -> spawn one.

@@ -328,6 +328,10 @@ class CheckpointManager:
             if epoch is None:
                 raise FileNotFoundError(
                     f"No generator weights (gen_N) found in {self.directory}")
+        elif not os.path.exists(self._path(f"gen_{epoch}")):
+            raise FileNotFoundError(
+                f"No gen_{epoch} in {self.directory} (latest is "
+                f"gen_{self.latest_generator_epoch()})")
         template = jax.eval_shape(
             lambda k: {"g_params": init_generator(k, generator_cfg),
                        "g_ema_params": init_generator(k, generator_cfg)},

@@ -53,6 +53,29 @@ class TestSampler:
         ips = s.throughput(n_batches=3)
         assert ips > 0
 
+    def test_swap_generator_params(self):
+        """Hot reload: swapped params serve through the same compiled
+        pipeline; mismatched shapes/structures are rejected readably."""
+        import jax.numpy as jnp
+        import pytest
+
+        s = make_sampler()
+        caps = np.ones((2, 6), np.int32)
+        lens = np.full((2,), 6, np.int32)
+        s_twin = make_sampler()  # same seed -> same noise stream
+        before = s_twin.generate_tokens(caps, lens)
+
+        s.swap_generator_params(jax.tree.map(jnp.zeros_like, s._g_params))
+        after = s.generate_tokens(caps, lens)
+        assert np.array_equal(after, np.zeros_like(after))  # tanh(0) = 0
+        assert not np.array_equal(before, after)
+
+        with pytest.raises(ValueError, match="shapes"):
+            s.swap_generator_params(jax.tree.map(
+                lambda x: jnp.zeros(x.shape + (1,), x.dtype), s._g_params))
+        with pytest.raises(ValueError, match="structure"):
+            s.swap_generator_params({"not": jnp.zeros(())})
+
     def test_warmup_preserves_noise_stream(self):
         """warmup() compiles/executes but must not advance the serving
         RNG: a warmed server serves the same images as a cold one."""
@@ -78,19 +101,26 @@ class TestHTTPServe:
         t.start()
         return server, f"http://127.0.0.1:{server.server_address[1]}"
 
-    def _post(self, url, payload):
+    def _post(self, url, payload, path="/generate"):
         import json
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            url + "/generate", data=json.dumps(payload).encode(),
+            url + path, data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
         try:
             with urllib.request.urlopen(req) as r:
                 return r.status, json.loads(r.read())
         except urllib.error.HTTPError as e:
             return e.code, json.loads(e.read())
+
+    def _get(self, url, path):
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(url + path) as r:
+            return json.loads(r.read())
 
     def test_healthz_generate_and_errors(self):
         import base64
@@ -246,6 +276,81 @@ class TestHTTPServe:
             server.shutdown()
             server.server_close()
 
+    def test_reload_swaps_weights_metrics_and_epoch(self):
+        """POST /reload hot-swaps the served generator params through the
+        compiled pipeline (no retrace) and updates /healthz's epoch; the
+        /metrics counters track requests, images, and reloads."""
+        import base64
+        import io
+        import threading
+
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        zeros = jax.tree.map(jnp.zeros_like, sampler._g_params)
+
+        def reloader(epoch=None):
+            if epoch == 99:
+                raise FileNotFoundError("No gen_99 in weights")
+            return zeros, 7 if epoch is None else epoch
+
+        server = make_http_server(sampler, port=0, epoch=3,
+                                  reloader=reloader)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            assert self._get(url, "/healthz")["epoch"] == 3
+
+            code, body = self._post(url, {"prompts": ["a red bird"]})
+            assert code == 200
+
+            code, body = self._post(url, {}, path="/reload")
+            assert code == 200 and body["epoch"] == 7
+            assert self._get(url, "/healthz")["epoch"] == 7
+
+            # all-zero params -> G output exactly tanh(0)=0 -> uint8 127/128
+            code, body = self._post(url, {"prompts": ["a red bird"]})
+            arr = np.asarray(Image.open(io.BytesIO(
+                base64.b64decode(body["images"][0]))))
+            assert set(np.unique(arr)) <= {127, 128}
+
+            # explicit epoch passthrough + missing-epoch 404
+            code, body = self._post(url, {"epoch": 5}, path="/reload")
+            assert code == 200 and body["epoch"] == 5
+            code, body = self._post(url, {"epoch": 99}, path="/reload")
+            assert code == 404 and "gen_99" in body["error"]
+            code, body = self._post(url, {"epoch": "x"}, path="/reload")
+            assert code == 400
+
+            m = self._get(url, "/metrics")
+            assert m["generate_ok"] == 2 and m["images_total"] == 2
+            assert m["reloads_total"] == 2 and m["epoch"] == 5
+            assert m["generate_seconds_total"] > 0
+            assert m["requests_total"] >= 8
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_reload_unavailable_without_reloader(self):
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        server = make_http_server(make_sampler(batch_size=2), port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, body = self._post(url, {}, path="/reload")
+            assert code == 400 and "reload not available" in body["error"]
+        finally:
+            server.shutdown()
+            server.server_close()
+
     def test_close_joins_inflight_handlers(self):
         """server_close() must block until in-flight handlers finish
         (non-daemon handler threads) — the graceful-stop contract; the
@@ -334,6 +439,65 @@ class TestServeMain:
         assert len(paths) == 3
         assert all(os.path.exists(p) for p in paths)
         assert os.path.exists(os.path.join(out, "serve_grid.png"))
+
+    def test_build_sampler_reload_latest(self, tmp_path):
+        """build_sampler's reload hook re-reads the weights dir: after the
+        trainer writes a newer gen_N, reload_generator() returns it (the
+        serving-dtype cast applied), and swap serves it."""
+        import torch
+
+        from gan_codes_tpu.data.synthetic import make_synthetic_cub
+        from gan_codes_tpu.generate import load_vocab
+        from gan_codes_tpu.serve import build_sampler
+        from gan_codes_tpu.train.checkpoint import CheckpointManager
+        from gan_codes_tpu.train.state import create_train_state
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=4, n_test=2, image_size=24)
+        code2word, _ = load_vocab(root)
+        cfg = GANConfig.for_image_size(16, vocab_size=len(code2word))
+
+        emb, half = cfg.text_encoder.embed_dim, cfg.text_encoder.hidden_dim // 2
+        g = torch.Generator().manual_seed(0)
+        sd = {"encoder.weight": torch.randn(len(code2word), emb, generator=g)}
+        for sfx in ("", "_reverse"):
+            sd[f"rnn.weight_ih_l0{sfx}"] = torch.randn(4 * half, emb,
+                                                       generator=g)
+            sd[f"rnn.weight_hh_l0{sfx}"] = torch.randn(4 * half, half,
+                                                       generator=g)
+            sd[f"rnn.bias_ih_l0{sfx}"] = torch.randn(4 * half, generator=g)
+            sd[f"rnn.bias_hh_l0{sfx}"] = torch.randn(4 * half, generator=g)
+        pth = str(tmp_path / "text_encoder.pth")
+        torch.save(sd, pth)
+
+        state = jax.jit(lambda k: create_train_state(k, cfg))(KEY)
+        weights = str(tmp_path / "weights")
+        mgr = CheckpointManager(weights)
+        mgr.save_generator(3, state)
+
+        sampler, epoch = build_sampler(root, pth, weights, image_size=16,
+                                       batch_size=2, dtype="bfloat16")
+        assert epoch == 3
+
+        # the trainer advances: a newer gen_N lands in the same dir
+        mgr.save_generator(5, state)
+
+        new_params, new_epoch = sampler.reload_generator()
+        assert new_epoch == 5
+        import jax.numpy as jnp
+
+        assert jax.tree.leaves(new_params)[0].dtype == jnp.bfloat16
+        sampler.swap_generator_params(new_params)
+        imgs = sampler.generate_prompts(["a red bird"])
+        assert np.isfinite(imgs).all()
+
+        # explicit epoch: restore the older weights again
+        _, ep3 = sampler.reload_generator(epoch=3)
+        assert ep3 == 3
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="gen_9"):
+            sampler.reload_generator(epoch=9)
 
     def test_inference_mains_read_checkpoint_config(self, tmp_path):
         """`serve.main` / `generate.main` with no image size rebuild the

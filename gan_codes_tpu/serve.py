@@ -273,9 +273,12 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
         print(f"Serving data-parallel over mesh: {dict(mesh.shape)}")
     sampler = Sampler(cfg, g_params, te_params, word2code=word2code,
                       batch_size=batch_size, seed=seed, mesh=mesh)
-    # Weight hot-reload hook for the HTTP layer (`POST /reload`): re-read
-    # gen_N from the same weights dir and swap via swap_generator_params.
+    # Weight hot-reload hooks for the HTTP layer (`POST /reload`, --watch):
+    # re-read gen_N from the same weights dir and swap via
+    # swap_generator_params; the cheap epoch probe lets the watcher poll
+    # without restoring anything.
     sampler.reload_generator = load_generator
+    sampler.latest_generator_epoch = ckpt.latest_generator_epoch
     return sampler, epoch
 
 
@@ -284,7 +287,9 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      max_body_bytes: int = 16 << 20,
                      max_inflight: int = 64,
                      epoch: Optional[int] = None,
-                     reloader=None):
+                     reloader=None,
+                     watch_interval: Optional[float] = None,
+                     latest_epoch_fn=None):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
@@ -308,6 +313,11 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                                   atomically w.r.t. in-flight generates.
                                   Requires `reloader` (the CLI wires
                                   `build_sampler`'s; epoch -> /healthz).
+
+    `watch_interval` (seconds; CLI `--watch`) starts a background watcher
+    that polls `latest_epoch_fn` and auto-swaps when the trainer writes a
+    newer gen_N — continuous train-and-serve without a client driving
+    /reload. The watcher stops at `server_close()`.
 
     PNG encode is the host-side wall at batch scale (measured ~35-50 img/s
     at 256px on a 1-vCPU serving host vs 4500+ img/s through the TPU
@@ -335,6 +345,13 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
 
     if max_inflight < 1:
         raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
+    if watch_interval is not None:
+        if reloader is None or latest_epoch_fn is None:
+            raise ValueError("watch_interval needs both reloader and "
+                             "latest_epoch_fn (build_sampler provides them)")
+        if watch_interval <= 0:
+            raise ValueError(
+                f"watch_interval must be > 0, got {watch_interval}")
     lock = threading.Lock()
     # Load shedding: dispatch is serialized through `lock`, so each request
     # beyond the one running just holds a thread + its decoded body in RAM.
@@ -533,14 +550,51 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                                                      quality),
                              "count": int(len(images)), "format": fmt})
 
-    server = ThreadingHTTPServer((host, port), Handler)
-    # ThreadingHTTPServer defaults to DAEMON handler threads, which
-    # socketserver._Threads.append does not track — server_close() would
-    # join nothing and process exit would kill in-flight handlers
-    # mid-response. Non-daemon threads give the documented graceful-stop
-    # semantics: shutdown() ends the accept loop, server_close() joins
-    # the in-flight handlers to completion.
-    server.daemon_threads = False
+    watcher_stop = threading.Event()
+
+    def watch_loop():
+        while not watcher_stop.wait(watch_interval):
+            try:
+                ep = latest_epoch_fn()
+                if ep is None or ep == state["epoch"]:
+                    continue
+                with reload_lock:
+                    params, ep = reloader()
+                    with lock:  # atomic w.r.t. in-flight generates
+                        sampler.swap_generator_params(params)
+                        state["epoch"] = ep
+                bump(reloads_total=1)
+                print(f"[serve-http] watcher: now serving epoch-{ep} "
+                      "weights", file=sys.stderr, flush=True)
+            except Exception as e:
+                # Transient by design (e.g. the trainer mid-write); the
+                # next poll retries. Keep serving the current weights.
+                print(f"[serve-http] watcher: reload failed, keeping "
+                      f"epoch {state['epoch']}: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+
+    class Server(ThreadingHTTPServer):
+        # ThreadingHTTPServer defaults to DAEMON handler threads, which
+        # socketserver._Threads.append does not track — server_close()
+        # would join nothing and process exit would kill in-flight
+        # handlers mid-response. Non-daemon threads give the documented
+        # graceful-stop semantics: shutdown() ends the accept loop,
+        # server_close() joins the in-flight handlers to completion.
+        daemon_threads = False
+
+        def server_close(self):
+            watcher_stop.set()
+            super().server_close()
+            if self._watcher_thread is not None:
+                self._watcher_thread.join(timeout=30)
+
+        _watcher_thread = None
+
+    server = Server((host, port), Handler)
+    if watch_interval is not None:
+        server._watcher_thread = threading.Thread(
+            target=watch_loop, name="weight-watcher", daemon=True)
+        server._watcher_thread.start()
     return server
 
 
@@ -617,6 +671,10 @@ if __name__ == "__main__":
                     help="concurrent /generate requests beyond this are "
                          "shed with a 503 instead of queueing (each queued "
                          "request holds a thread + its body)")
+    ap.add_argument("--watch", type=float, default=None, metavar="SECONDS",
+                    help="with --http: poll the weights dir at this "
+                         "interval and auto-serve newer gen_N epochs as "
+                         "the trainer writes them (hot swap, no restart)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the startup pipeline warmup (first request "
                          "then pays the compile)")
@@ -624,6 +682,11 @@ if __name__ == "__main__":
     a = ap.parse_args()
     if a.max_inflight < 1:
         ap.error(f"--max-inflight must be >= 1, got {a.max_inflight}")
+    if a.watch is not None:
+        if a.http is None:
+            ap.error("--watch requires --http")
+        if a.watch <= 0:
+            ap.error(f"--watch must be > 0 seconds, got {a.watch}")
     if a.compile_cache:
         from .utils.compile_cache import enable_compile_cache
 
@@ -638,7 +701,10 @@ if __name__ == "__main__":
         # serve_forever just wait in the listen backlog.)
         server = make_http_server(sampler, host=a.http_host, port=a.http,
                                   max_inflight=a.max_inflight, epoch=epoch,
-                                  reloader=sampler.reload_generator)
+                                  reloader=sampler.reload_generator,
+                                  watch_interval=a.watch,
+                                  latest_epoch_fn=(
+                                      sampler.latest_generator_epoch))
         # Graceful stop: SIGTERM/SIGINT end serve_forever's loop (in-flight
         # handler threads run to completion) instead of killing mid-request.
         # shutdown() must not run on the serve_forever thread -> spawn one.

@@ -335,6 +335,70 @@ class TestHTTPServe:
             server.shutdown()
             server.server_close()
 
+    def test_watcher_auto_reloads(self):
+        """--watch: the background watcher polls the weights dir's latest
+        epoch and hot-swaps without any client driving /reload; it stops
+        at server_close()."""
+        import threading
+        import time
+
+        import jax.numpy as jnp
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        zeros = jax.tree.map(jnp.zeros_like, sampler._g_params)
+        current = {"epoch": 1, "params": sampler._g_params}
+
+        server = make_http_server(
+            sampler, port=0, epoch=1,
+            reloader=lambda epoch=None: (current["params"],
+                                         current["epoch"]),
+            watch_interval=0.05,
+            latest_epoch_fn=lambda: current["epoch"])
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            assert self._get(url, "/healthz")["epoch"] == 1
+            # the trainer "writes" a newer epoch; the watcher must pick
+            # it up with no /reload call
+            current["params"], current["epoch"] = zeros, 2
+            deadline = time.monotonic() + 15
+            while time.monotonic() < deadline:
+                if self._get(url, "/healthz")["epoch"] == 2:
+                    break
+                time.sleep(0.05)
+            assert self._get(url, "/healthz")["epoch"] == 2
+            assert self._get(url, "/metrics")["reloads_total"] == 1
+
+            import base64
+            import io
+
+            from PIL import Image
+
+            code, body = self._post(url, {"prompts": ["a red bird"]})
+            arr = np.asarray(Image.open(io.BytesIO(
+                base64.b64decode(body["images"][0]))))
+            assert set(np.unique(arr)) <= {127, 128}  # zeros served
+        finally:
+            server.shutdown()
+            server.server_close()
+        assert not server._watcher_thread.is_alive()  # stopped at close
+
+    def test_watch_validation(self):
+        import pytest
+
+        from gan_codes_tpu.serve import make_http_server
+
+        s = make_sampler(batch_size=2)
+        with pytest.raises(ValueError, match="watch_interval"):
+            make_http_server(s, port=0, watch_interval=1.0)  # no reloader
+        with pytest.raises(ValueError, match="watch_interval"):
+            make_http_server(s, port=0, watch_interval=0.0,
+                             reloader=lambda epoch=None: (None, 0),
+                             latest_epoch_fn=lambda: 0)
+
     def test_reload_unavailable_without_reloader(self):
         import threading
 

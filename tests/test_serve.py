@@ -666,6 +666,35 @@ class TestSamplerDP:
         with pytest.raises(ValueError, match="divisible"):
             Sampler(cfg, g, te, batch_size=6, mesh=make_mesh())
 
+    def test_dp_swap_matches_single_device(self):
+        """Hot reload under DP serving: the swapped params must be
+        re-placed with the replicated sharding, so a DP sampler serves
+        the same images as a single-device one after the swap."""
+        from gan_codes_tpu.parallel import make_mesh
+
+        cfg = GANConfig(
+            generator=GeneratorConfig(n_channels=4, image_size=16,
+                                      sentence_dim=16),
+            discriminator=DiscriminatorConfig(n_channels=4, image_size=16,
+                                              sentence_dim=16),
+            text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                           hidden_dim=16, max_len=6),
+        )
+        g = jax.jit(lambda k: init_generator(k, cfg.generator))(KEY)
+        g2 = jax.jit(lambda k: init_generator(k, cfg.generator))(
+            jax.random.PRNGKey(9))
+        te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+
+        single = Sampler(cfg, g, te, batch_size=8, seed=3)
+        dp = Sampler(cfg, g, te, batch_size=8, seed=3, mesh=make_mesh())
+        single.swap_generator_params(g2)
+        dp.swap_generator_params(g2)
+        caps = np.tile(np.arange(1, 7, dtype=np.int32), (8, 1))
+        lens = np.full((8,), 6, np.int32)
+        a = single.generate_tokens(caps, lens)
+        b = dp.generate_tokens(caps, lens)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
     def test_dp_throughput_runs_sharded(self):
         """throughput() on a mesh Sampler must benchmark the sharded
         pipeline (review finding: an unsharded jit silently measured

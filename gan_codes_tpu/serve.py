@@ -26,8 +26,25 @@ from .models.text_encoder import text_encoder_apply
 Params = Any
 
 
+def _cast_floating(tree: Params, dtype) -> Params:
+    """Cast every floating leaf to `dtype` (ints/bools untouched)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 class Sampler:
-    """Batched prompt -> image inference with a single compiled pipeline."""
+    """Batched prompt -> image inference with a single compiled pipeline.
+
+    Optional weight-reload hooks (set by `build_sampler`, which owns the
+    weights directory; None on directly-constructed Samplers):
+    `reload_generator(epoch=None) -> (params, epoch)` restores gen_N at
+    the serving dtype, `latest_generator_epoch() -> Optional[int]` is the
+    cheap newest-epoch probe the `--watch` poller uses.
+    """
+
+    reload_generator = None
+    latest_generator_epoch = None
 
     def __init__(self, cfg: GANConfig, g_params: Params,
                  text_encoder_params: Params,
@@ -254,16 +271,12 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
         tree, ep = ckpt.restore_generator_tree(cfg.generator, epoch=epoch)
         g = tree["g_ema_params" if use_ema else "g_params"]
         if dtype == "bfloat16":
-            g = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, g)
+            g = _cast_floating(g, jnp.bfloat16)
         return g, ep
 
     g_params, epoch = load_generator()
     if dtype == "bfloat16":
-        te_params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, te_params)
+        te_params = _cast_floating(te_params, jnp.bfloat16)
 
     mesh = None
     if data_parallel:
@@ -289,7 +302,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      epoch: Optional[int] = None,
                      reloader=None,
                      watch_interval: Optional[float] = None,
-                     latest_epoch_fn=None):
+                     latest_epoch_fn=None,
+                     handler_timeout: Optional[float] = 120.0):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
@@ -317,7 +331,16 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     `watch_interval` (seconds; CLI `--watch`) starts a background watcher
     that polls `latest_epoch_fn` and auto-swaps when the trainer writes a
     newer gen_N — continuous train-and-serve without a client driving
-    /reload. The watcher stops at `server_close()`.
+    /reload. The watcher stops at `server_close()`. An explicit
+    `POST /reload {"epoch": N}` PINS that epoch (the watcher would
+    otherwise re-upgrade an operator's rollback within one poll); a bare
+    `POST /reload {}` unpins and resumes following the latest.
+
+    `handler_timeout` (seconds, None = unbounded) is the per-socket-op
+    timeout on handler connections: it bounds how long a stalled client
+    can pin a handler thread in a body read (the shed/404 drain paths)
+    or a response write — and therefore how long `server_close()`'s
+    join of the non-daemon handler threads can block at shutdown.
 
     PNG encode is the host-side wall at batch scale (measured ~35-50 img/s
     at 256px on a 1-vCPU serving host vs 4500+ img/s through the TPU
@@ -365,12 +388,23 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     stats = {"requests_total": 0, "generate_ok": 0, "generate_error": 0,
              "shed_total": 0, "images_total": 0, "reloads_total": 0,
              "generate_seconds_total": 0.0, "last_generate_seconds": 0.0}
-    state = {"epoch": epoch}
+    state = {"epoch": epoch, "pinned": False}
 
     def bump(**deltas):
         with stats_lock:
             for k, v in deltas.items():
                 stats[k] += v
+
+    def do_reload(want: Optional[int] = None) -> int:
+        """The one reload-and-swap critical section (POST /reload AND the
+        watcher): restore outside the dispatch lock, swap inside it."""
+        with reload_lock:
+            params, ep = reloader(epoch=want)
+            with lock:  # atomic w.r.t. in-flight generates
+                sampler.swap_generator_params(params)
+                state["epoch"] = ep
+        bump(reloads_total=1)
+        return ep
 
     def encode_images(images: np.ndarray, fmt: str, quality: int) -> List[str]:
         kw = {"quality": quality} if fmt == "JPEG" else {}
@@ -383,6 +417,12 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
         return out
 
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout for every read/write on a handler connection
+        # (StreamRequestHandler.setup applies it): a stalled client can
+        # pin a thread (body drain, response write) at most this long,
+        # which also bounds server_close()'s non-daemon thread join.
+        timeout = handler_timeout
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             try:
@@ -409,11 +449,13 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                     200, {"status": "ok",
                           "batch_size": sampler.batch_size,
                           "image_size": sampler.cfg.generator.image_size,
-                          "epoch": state["epoch"]})
+                          "epoch": state["epoch"],
+                          "pinned": state["pinned"]})
             if self.path == "/metrics":
                 with stats_lock:
                     snap = dict(stats)
-                snap.update(epoch=state["epoch"], max_inflight=max_inflight,
+                snap.update(epoch=state["epoch"], pinned=state["pinned"],
+                            max_inflight=max_inflight,
                             batch_size=sampler.batch_size)
                 return self._send(200, snap)
             self._send(404, {"error": "unknown path"})
@@ -458,7 +500,7 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 return self._send(
                     400, {"error": "reload not available: server was built "
                           "without a weights-directory reloader"})
-            try:
+            try:  # client-caused problems -> 400
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 <= n <= max_body_bytes:
                     self._drain_body()
@@ -468,20 +510,21 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 want = req.get("epoch")
                 if want is not None:
                     want = int(want)
-                with reload_lock:
-                    params, ep = reloader(epoch=want)
-                    with lock:  # atomic w.r.t. in-flight generates
-                        sampler.swap_generator_params(params)
-                        state["epoch"] = ep
-            except FileNotFoundError as e:
-                return self._send(404, {"error": str(e)})
             except (ValueError, TypeError) as e:
                 return self._send(400, {"error": str(e)})
+            try:  # server-side restore/swap problems -> 404/500
+                ep = do_reload(want)
+                # An explicit epoch is an operator's pin (e.g. rolling
+                # back a bad latest): the --watch poller must not
+                # re-upgrade it. A bare reload unpins.
+                state["pinned"] = want is not None
+            except FileNotFoundError as e:
+                return self._send(404, {"error": str(e)})
             except Exception as e:  # corrupt checkpoint, restore failure
                 return self._send(500,
                                   {"error": f"{type(e).__name__}: {e}"})
-            bump(reloads_total=1)
-            self._send(200, {"status": "ok", "epoch": ep})
+            self._send(200, {"status": "ok", "epoch": ep,
+                             "pinned": state["pinned"]})
 
         def _generate(self):
             t0 = time.perf_counter()
@@ -540,14 +583,18 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 bump(generate_error=1)
                 return self._send(400,
                                   {"error": f"{type(e).__name__}: {e}"})
+            encoded = encode_images(images, fmt.upper(), quality)
+            # Request-level latency: queue wait behind the dispatch lock +
+            # pipeline + image encode (encode is the measured host-side
+            # wall at batch scale — excluding it would report "capacity
+            # fine" while clients wait in PNG compression).
             dt = time.perf_counter() - t0
             with stats_lock:
                 stats["generate_ok"] += 1
                 stats["images_total"] += int(len(images))
                 stats["generate_seconds_total"] += dt
                 stats["last_generate_seconds"] = dt
-            self._send(200, {"images": encode_images(images, fmt.upper(),
-                                                     quality),
+            self._send(200, {"images": encoded,
                              "count": int(len(images)), "format": fmt})
 
     watcher_stop = threading.Event()
@@ -555,15 +602,12 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     def watch_loop():
         while not watcher_stop.wait(watch_interval):
             try:
+                if state["pinned"]:  # operator rollback holds until a
+                    continue         # bare POST /reload unpins
                 ep = latest_epoch_fn()
                 if ep is None or ep == state["epoch"]:
                     continue
-                with reload_lock:
-                    params, ep = reloader()
-                    with lock:  # atomic w.r.t. in-flight generates
-                        sampler.swap_generator_params(params)
-                        state["epoch"] = ep
-                bump(reloads_total=1)
+                ep = do_reload()
                 print(f"[serve-http] watcher: now serving epoch-{ep} "
                       "weights", file=sys.stderr, flush=True)
             except Exception as e:

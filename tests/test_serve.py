@@ -386,6 +386,113 @@ class TestHTTPServe:
             server.server_close()
         assert not server._watcher_thread.is_alive()  # stopped at close
 
+    def test_reload_pin_suppresses_watcher(self):
+        """An explicit POST /reload {"epoch": N} is an operator pin (e.g.
+        rolling back a bad latest): the watcher must NOT re-upgrade it;
+        a bare POST /reload {} unpins and resumes following latest."""
+        import threading
+        import time
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=2)
+        keep = sampler._g_params
+        current = {"epoch": 5}
+
+        def reloader(epoch=None):
+            return keep, current["epoch"] if epoch is None else epoch
+
+        server = make_http_server(
+            sampler, port=0, epoch=5, reloader=reloader,
+            watch_interval=0.05, latest_epoch_fn=lambda: current["epoch"])
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            # operator rolls back to epoch 3 -> pinned
+            code, body = self._post(url, {"epoch": 3}, path="/reload")
+            assert code == 200 and body == {"status": "ok", "epoch": 3,
+                                            "pinned": True}
+            # trainer writes epoch 6; the watcher must hold the pin
+            current["epoch"] = 6
+            time.sleep(0.5)  # ~10 poll intervals
+            h = self._get(url, "/healthz")
+            assert h["epoch"] == 3 and h["pinned"] is True
+            # bare reload unpins and jumps to latest
+            code, body = self._post(url, {}, path="/reload")
+            assert code == 200 and body["epoch"] == 6
+            assert body["pinned"] is False
+            # watcher follows again
+            current["epoch"] = 7
+            deadline = time.monotonic() + 15
+            while time.monotonic() < deadline:
+                if self._get(url, "/healthz")["epoch"] == 7:
+                    break
+                time.sleep(0.05)
+            assert self._get(url, "/healthz")["epoch"] == 7
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_reloader_failure_is_500_not_400(self):
+        """Server-side reload failures (wiring bugs, corrupt checkpoints)
+        must surface as 500, not get blamed on the client as 400."""
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        def bad_reloader(epoch=None):
+            raise TypeError("wiring bug inside restore")
+
+        server = make_http_server(make_sampler(batch_size=2), port=0,
+                                  reloader=bad_reloader)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, body = self._post(url, {}, path="/reload")
+            assert code == 500 and "TypeError" in body["error"]
+            # but a malformed client epoch is still a 400
+            code, body = self._post(url, {"epoch": "x"}, path="/reload")
+            assert code == 400
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_stalled_client_bounded_by_handler_timeout(self):
+        """A client that claims a large Content-Length and stalls must not
+        pin a handler thread forever in the drain (and with non-daemon
+        handler threads, block server_close): the per-socket timeout
+        drops it, and shutdown completes promptly after."""
+        import socket
+        import threading
+        import time
+
+        from gan_codes_tpu.serve import make_http_server
+
+        server = make_http_server(make_sampler(batch_size=2), port=0,
+                                  handler_timeout=1.0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            s = socket.create_connection(
+                ("127.0.0.1", server.server_address[1]))
+            s.sendall(b"POST /nope HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: 1000000\r\n\r\nabc")  # then stall
+            s.settimeout(15)
+            t0 = time.monotonic()
+            try:
+                data = s.recv(65536)  # server must give up within ~1s
+            except OSError:
+                data = b""
+            assert time.monotonic() - t0 < 8
+            s.close()
+        finally:
+            server.shutdown()
+            t0 = time.monotonic()
+            server.server_close()  # joins handler threads: must be prompt
+            assert time.monotonic() - t0 < 8
+
     def test_watch_validation(self):
         import pytest
 

@@ -175,9 +175,10 @@ class Sampler:
         np.asarray(out)  # value fetch = real sync through the relay
         return _t.perf_counter() - t0
 
-    def generate_prompts(self, prompts: Sequence[str]) -> np.ndarray:
-        """Free-text prompts -> images (tokenization per reference
-        `test_generate.py:12-19`)."""
+    def tokenize_prompts(
+            self, prompts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Free-text prompts -> (captions [N, max_len], lengths [N])
+        (tokenization per reference `test_generate.py:12-19`)."""
         if self.word2code is None:
             raise ValueError("Sampler needs word2code for free-text prompts")
         caps, lens = [], []
@@ -186,7 +187,11 @@ class Sampler:
                                       self.cfg.text_encoder.max_len)
             caps.append(c[0])
             lens.append(l[0])
-        return self.generate_tokens(np.stack(caps), np.asarray(lens))
+        return np.stack(caps), np.asarray(lens)
+
+    def generate_prompts(self, prompts: Sequence[str]) -> np.ndarray:
+        """Free-text prompts -> images."""
+        return self.generate_tokens(*self.tokenize_prompts(prompts))
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured images/sec through the compiled pipeline.
@@ -295,6 +300,108 @@ def build_sampler(data_dir: str, encoder_weights_path: str,
     return sampler, epoch
 
 
+class RequestCoalescer:
+    """Dynamic request batching for the HTTP server: concurrent /generate
+    requests are coalesced into one pipeline dispatch instead of each
+    paying a full padded batch (a 1-prompt request through a bs-128
+    pipeline computes 128 images and keeps 1; eight such requests
+    serialized = 8 dispatches where one would do — TF-Serving/Triton-style
+    "dynamic batching", no reference counterpart).
+
+    Handler threads `submit(captions, lens)` and block; one dispatcher
+    thread takes the first queued request, keeps gathering until it has
+    `max_items` prompts or `window_s` elapses, runs the sampler ONCE under
+    the dispatch lock, and hands each waiter its slice. A failed dispatch
+    propagates the exception to every request in that batch.
+    """
+
+    _STOP = object()
+
+    def __init__(self, sampler: Sampler, lock, window_s: float,
+                 max_items: Optional[int] = None):
+        import queue
+        import threading
+
+        if window_s <= 0:
+            raise ValueError(f"window_s must be > 0, got {window_s}")
+        self._sampler = sampler
+        self._lock = lock
+        self._window = window_s
+        self._max = max_items or sampler.batch_size
+        self._q = queue.Queue()
+        self._stopped = False
+        self.dispatches = 0  # pipeline batches run (for /metrics)
+        self._thread = threading.Thread(target=self._run,
+                                        name="request-coalescer",
+                                        daemon=True)
+        self._thread.start()
+
+    def submit(self, captions: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        import threading
+
+        if self._stopped:
+            raise RuntimeError("coalescer stopped (server shutting down)")
+        slot = {"done": threading.Event(), "images": None, "error": None,
+                "caps": captions, "lens": lens}
+        self._q.put(slot)
+        # Generous bound: the first dispatch before warmup can carry a
+        # multi-minute remote compile; a dead dispatcher must still not
+        # hang the handler forever.
+        if not slot["done"].wait(timeout=600):
+            raise RuntimeError("coalescer dispatch timed out")
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["images"]
+
+    def _run(self):
+        import queue
+        import time as _t
+
+        while True:
+            slot = self._q.get()
+            if slot is self._STOP:
+                return
+            batch = [slot]
+            n = len(slot["caps"])
+            deadline = _t.monotonic() + self._window
+            while n < self._max:
+                remaining = deadline - _t.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._q.put(self._STOP)  # re-arm for the outer loop
+                    break
+                batch.append(nxt)
+                n += len(nxt["caps"])
+            try:
+                caps = np.concatenate([b["caps"] for b in batch])
+                lens = np.concatenate([b["lens"] for b in batch])
+                with self._lock:
+                    images = self._sampler.generate_tokens(caps, lens)
+                self.dispatches += 1
+                i = 0
+                for b in batch:
+                    b["images"] = images[i: i + len(b["caps"])]
+                    i += len(b["caps"])
+            except Exception as e:  # propagate to every waiter in the batch
+                for b in batch:
+                    b["error"] = e
+            finally:
+                for b in batch:
+                    b["done"].set()
+
+    def stop(self, timeout: float = 30.0):
+        """Stop after draining queued requests; joins the dispatcher.
+        Later submits fail fast instead of hanging."""
+        self._stopped = True
+        self._q.put(self._STOP)
+        self._thread.join(timeout)
+
+
 def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      port: int = 0, max_prompts: int = 1024,
                      max_body_bytes: int = 16 << 20,
@@ -303,7 +410,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                      reloader=None,
                      watch_interval: Optional[float] = None,
                      latest_epoch_fn=None,
-                     handler_timeout: Optional[float] = 120.0):
+                     handler_timeout: Optional[float] = 120.0,
+                     coalesce_window: Optional[float] = None):
     """HTTP server around a resident `Sampler` (no reference counterpart —
     the reference's serving story is one script run per prompt,
     `test_generate.py:21-84`; this is the long-lived production surface).
@@ -341,6 +449,13 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
     can pin a handler thread in a body read (the shed/404 drain paths)
     or a response write — and therefore how long `server_close()`'s
     join of the non-daemon handler threads can block at shutdown.
+
+    `coalesce_window` (seconds; CLI `--coalesce-ms`) enables dynamic
+    request batching: concurrent /generate requests are gathered for up
+    to the window (or until one pipeline batch is full) and dispatched
+    as ONE padded batch instead of one each — see `RequestCoalescer`.
+    Worth it when traffic is many small requests; a single client
+    sending full batches gains nothing and pays the window once.
 
     PNG encode is the host-side wall at batch scale (measured ~35-50 img/s
     at 256px on a 1-vCPU serving host vs 4500+ img/s through the TPU
@@ -389,6 +504,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
              "shed_total": 0, "images_total": 0, "reloads_total": 0,
              "generate_seconds_total": 0.0, "last_generate_seconds": 0.0}
     state = {"epoch": epoch, "pinned": False}
+    coalescer = (RequestCoalescer(sampler, lock, coalesce_window)
+                 if coalesce_window is not None else None)
 
     def bump(**deltas):
         with stats_lock:
@@ -457,6 +574,8 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                 snap.update(epoch=state["epoch"], pinned=state["pinned"],
                             max_inflight=max_inflight,
                             batch_size=sampler.batch_size)
+                if coalescer is not None:
+                    snap["coalesced_dispatches"] = coalescer.dispatches
                 return self._send(200, snap)
             self._send(404, {"error": "unknown path"})
 
@@ -570,11 +689,13 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
                         raise ValueError(
                             f"cap_lens must be {len(captions)} ints in "
                             f"1..{max_len}")
-                with lock:
-                    if prompts is not None:
-                        images = sampler.generate_prompts(
-                            [str(p) for p in prompts])
-                    else:
+                if prompts is not None:
+                    caps, lens = sampler.tokenize_prompts(
+                        [str(p) for p in prompts])
+                if coalescer is not None:
+                    images = coalescer.submit(caps, lens)
+                else:
+                    with lock:
                         images = sampler.generate_tokens(caps, lens)
             except ValueError as e:
                 bump(generate_error=1)
@@ -628,6 +749,11 @@ def make_http_server(sampler: Sampler, host: str = "127.0.0.1",
 
         def server_close(self):
             watcher_stop.set()
+            if coalescer is not None:
+                # BEFORE joining handler threads: they may be blocked in
+                # coalescer.submit; stop() drains the queue and completes
+                # every waiter, letting the handler join below finish.
+                coalescer.stop()
             super().server_close()
             if self._watcher_thread is not None:
                 self._watcher_thread.join(timeout=30)
@@ -715,6 +841,12 @@ if __name__ == "__main__":
                     help="concurrent /generate requests beyond this are "
                          "shed with a 503 instead of queueing (each queued "
                          "request holds a thread + its body)")
+    ap.add_argument("--coalesce-ms", type=float, default=None,
+                    metavar="MS",
+                    help="with --http: dynamic request batching — gather "
+                         "concurrent /generate requests for up to this "
+                         "many milliseconds (or one full pipeline batch) "
+                         "and run them as ONE padded dispatch")
     ap.add_argument("--watch", type=float, default=None, metavar="SECONDS",
                     help="with --http: poll the weights dir at this "
                          "interval and auto-serve newer gen_N epochs as "
@@ -731,6 +863,11 @@ if __name__ == "__main__":
             ap.error("--watch requires --http")
         if a.watch <= 0:
             ap.error(f"--watch must be > 0 seconds, got {a.watch}")
+    if a.coalesce_ms is not None:
+        if a.http is None:
+            ap.error("--coalesce-ms requires --http")
+        if a.coalesce_ms <= 0:
+            ap.error(f"--coalesce-ms must be > 0, got {a.coalesce_ms}")
     if a.compile_cache:
         from .utils.compile_cache import enable_compile_cache
 
@@ -748,7 +885,11 @@ if __name__ == "__main__":
                                   reloader=sampler.reload_generator,
                                   watch_interval=a.watch,
                                   latest_epoch_fn=(
-                                      sampler.latest_generator_epoch))
+                                      sampler.latest_generator_epoch),
+                                  coalesce_window=(
+                                      a.coalesce_ms / 1000.0
+                                      if a.coalesce_ms is not None
+                                      else None))
         # Graceful stop: SIGTERM/SIGINT end serve_forever's loop (in-flight
         # handler threads run to completion) instead of killing mid-request.
         # shutdown() must not run on the serve_forever thread -> spawn one.

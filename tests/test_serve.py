@@ -198,14 +198,14 @@ class TestHTTPServe:
 
         sampler = make_sampler(batch_size=2)
         gate, entered = threading.Event(), threading.Event()
-        real = sampler.generate_prompts
+        real = sampler.generate_tokens
 
-        def stub(prompts):
+        def stub(caps, lens):  # the handler dispatch path (generate_tokens)
             entered.set()
             gate.wait(30)
-            return real(prompts)
+            return real(caps, lens)
 
-        sampler.generate_prompts = stub
+        sampler.generate_tokens = stub
         server = make_http_server(sampler, port=0, max_inflight=1)
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
@@ -249,14 +249,14 @@ class TestHTTPServe:
 
         sampler = make_sampler(batch_size=2)
         gate, entered = threading.Event(), threading.Event()
-        real = sampler.generate_prompts
+        real = sampler.generate_tokens
 
-        def stub(prompts):
+        def stub(caps, lens):  # the handler dispatch path (generate_tokens)
             entered.set()
             gate.wait(30)
-            return real(prompts)
+            return real(caps, lens)
 
-        sampler.generate_prompts = stub
+        sampler.generate_tokens = stub
         server = make_http_server(sampler, port=0, max_inflight=1)
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
@@ -506,6 +506,98 @@ class TestHTTPServe:
                              reloader=lambda epoch=None: (None, 0),
                              latest_epoch_fn=lambda: 0)
 
+    def test_coalescer_batches_concurrent_requests(self):
+        """--coalesce-ms: concurrent 1-prompt requests ride ONE pipeline
+        dispatch (each got a full padded batch before); every client gets
+        its own slice (distinct noise rows)."""
+        import base64
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=4)
+        calls = {"n": 0}
+        real = sampler.generate_tokens
+
+        def counting(caps, lens):
+            calls["n"] += 1
+            return real(caps, lens)
+
+        sampler.generate_tokens = counting
+        server = make_http_server(sampler, port=0, coalesce_window=1.0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            results = [None] * 4
+
+            def post_one(i):
+                results[i] = self._post(url, {"prompts": ["a red bird"]})
+
+            threads = [threading.Thread(target=post_one, args=(i,))
+                       for i in range(4)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(120)
+            assert all(r is not None and r[0] == 200 for r in results)
+            assert all(r[1]["count"] == 1 for r in results)
+            # coalesced: 4 requests in at most 2 dispatches (1 on an idle
+            # host; timing may split a straggler off on a loaded one)
+            assert 1 <= calls["n"] <= 2
+            # each client got its OWN slice: same caption, different noise
+            imgs = [r[1]["images"][0] for r in results]
+            assert len(set(imgs)) == 4
+            m = self._get(url, "/metrics")
+            assert m["coalesced_dispatches"] == calls["n"]
+            assert m["generate_ok"] == 4 and m["images_total"] == 4
+        finally:
+            server.shutdown()
+            server.server_close()
+        # base64 sanity: responses decode
+        base64.b64decode(imgs[0])
+
+    def test_coalescer_error_propagates_to_all_waiters(self):
+        import threading
+
+        from gan_codes_tpu.serve import make_http_server
+
+        sampler = make_sampler(batch_size=4)
+
+        def boom(caps, lens):
+            raise RuntimeError("pipeline exploded")
+
+        sampler.generate_tokens = boom
+        server = make_http_server(sampler, port=0, coalesce_window=0.5)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            results = [None, None]
+
+            def post_one(i):
+                results[i] = self._post(url, {"prompts": ["a bird"]})
+
+            threads = [threading.Thread(target=post_one, args=(i,))
+                       for i in range(2)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(60)
+            for r in results:
+                assert r[0] == 400 and "pipeline exploded" in r[1]["error"]
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_coalescer_validation(self):
+        import pytest
+
+        from gan_codes_tpu.serve import RequestCoalescer
+
+        with pytest.raises(ValueError, match="window_s"):
+            RequestCoalescer(make_sampler(batch_size=2), None, 0.0)
+
     def test_reload_unavailable_without_reloader(self):
         import threading
 
@@ -533,14 +625,14 @@ class TestHTTPServe:
 
         sampler = make_sampler(batch_size=2)
         gate, entered = threading.Event(), threading.Event()
-        real = sampler.generate_prompts
+        real = sampler.generate_tokens
 
-        def stub(prompts):
+        def stub(caps, lens):  # the handler dispatch path (generate_tokens)
             entered.set()
             gate.wait(30)
-            return real(prompts)
+            return real(caps, lens)
 
-        sampler.generate_prompts = stub
+        sampler.generate_tokens = stub
         server = make_http_server(sampler, port=0)
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()

@@ -232,6 +232,16 @@ class TrainConfig:
     # 3-lane boundary convs were already special-cased by XLA; kept as the
     # tested negative result. Stays off.
     image_pad: int = 0
+    # Device loop: run this many full train steps per host dispatch via ONE
+    # jitted lax.scan over stacked batches (train/step.py
+    # make_scanned_train_step). Exact math — each scan iteration is the
+    # complete 3-phase step on its own batch, so step-for-step results match
+    # the default per-batch dispatch (pinned in tests/test_scan_dispatch.py).
+    # Amortizes host-loop + dispatch + transfer round trips; the win scales
+    # with dispatch latency (largest on remote/relay-attached devices,
+    # measured in PERF.md). Epochs whose batch count is not a multiple run
+    # the remainder through the single-step program (a second compile).
+    steps_per_dispatch: int = 1
 
     @property
     def compute_jnp_dtype(self):

@@ -40,6 +40,45 @@ def make_parallel_train_step(cfg: GANConfig, mesh: Mesh,
     )
 
 
+def make_parallel_scanned_train_step(cfg: GANConfig, mesh: Mesh,
+                                     donate_state: bool = True):
+    """Mesh-compiled `steps_per_dispatch` device loop (see
+    train/step.py::make_scanned_train_step): state/text-params replicated,
+    stacked batch tensors sharded on the data axis of every inner step
+    (leading scan axis unsharded). Each scan iteration carries the same
+    GSPMD layout as `make_parallel_train_step`, so sharded == single-device
+    holds chunk-for-chunk (tests/test_scan_dispatch.py)."""
+    from ..train.step import make_scanned_train_step
+
+    multi = make_scanned_train_step(cfg)
+    replicated = NamedSharding(mesh, P())
+    stack_sharded = NamedSharding(mesh, P(None, cfg.train.data_axis))
+    return jax.jit(
+        multi,
+        in_shardings=(replicated, replicated, stack_sharded, stack_sharded,
+                      stack_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate_state else (),
+        compiler_options=cfg.train.step_compiler_options(),
+    )
+
+
+def shard_batch_stack(mesh: Mesh, cfg: GANConfig, images, captions, cap_lens):
+    """`shard_batch` for a stack of `steps_per_dispatch` batches: axis 0 is
+    the scan (step) axis, axis 1 the batch axis sharded over `data`. Under
+    multi-host each process passes its stacked LOCAL shards and the global
+    stacked batch is assembled across processes, exactly like shard_batch."""
+    sharding = NamedSharding(mesh, P(None, cfg.train.data_axis))
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
+    return put(images), put(captions), put(cap_lens)
+
+
 def shard_batch(mesh: Mesh, cfg: GANConfig, images, captions, cap_lens):
     """Place a host batch onto the mesh, sharded along the data axis.
 

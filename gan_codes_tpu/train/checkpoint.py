@@ -47,6 +47,9 @@ CONFIG_RESUME_MUTABLE = frozenset({
     "discriminator.lane_pad_min_ch",
     "generator.image_pad",
     "train.image_pad",
+    # Dispatch grouping only — each inner scan step is the full 3-phase
+    # step on its own batch, so the training trajectory is unchanged.
+    "train.steps_per_dispatch",
 })
 
 

@@ -245,3 +245,41 @@ def make_jitted_train_step(cfg: GANConfig):
     step = make_train_step(cfg)
     return jax.jit(step, donate_argnums=(0,),
                    compiler_options=cfg.train.step_compiler_options())
+
+
+def make_scanned_train_step(cfg: GANConfig):
+    """N full train steps per dispatch: a `lax.scan` device loop over stacked
+    batches (`TrainConfig.steps_per_dispatch`).
+
+    The standard production-TPU training-loop pattern (keep the device inside
+    one XLA program instead of bouncing to the host every step): the stacked
+    leading axis is the scan axis, and each scan iteration is exactly
+    `make_train_step`'s 3-phase step on its own batch slice — same math, same
+    per-step RNG stream, same optimizer threading as N sequential dispatches
+    (pinned step-for-step in tests/test_scan_dispatch.py). The reference has
+    no equivalent — its loop is one `train_one_epoch` Python iteration per
+    batch (`src/deep_fusion_gan/model.py:282-298`).
+
+    Signature: `(state, text_params, images[N,B,H,W,C], captions[N,B,L],
+    cap_lens[N,B]) -> (state, metrics)` where each metrics leaf is stacked
+    `[N]` (one value per inner step, so epoch means / gp_active masking are
+    identical to the single-step path).
+    """
+    step = make_train_step(cfg)
+
+    def multi_step(state: TrainState, text_params: Params,
+                   images: jnp.ndarray, captions: jnp.ndarray,
+                   cap_lens: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        def body(carry, batch):
+            imgs, caps, lens = batch
+            return step(carry, text_params, imgs, caps, lens)
+
+        return jax.lax.scan(body, state, (images, captions, cap_lens))
+
+    return multi_step
+
+
+def make_jitted_scanned_train_step(cfg: GANConfig):
+    """Single-device jitted `steps_per_dispatch` device loop (state donated)."""
+    return jax.jit(make_scanned_train_step(cfg), donate_argnums=(0,),
+                   compiler_options=cfg.train.step_compiler_options())

@@ -62,16 +62,22 @@ class Trainer:
             lambda k: create_train_state(k, cfg))(init_key)
 
         if mesh is not None:
-            from ..parallel.dp import make_parallel_train_step, replicate
+            from ..parallel.dp import (make_parallel_scanned_train_step,
+                                       make_parallel_train_step, replicate)
 
             self.state = replicate(mesh, self.state)
             self.text_encoder_params = replicate(mesh, text_encoder_params)
             self._step_fn = make_parallel_train_step(cfg, mesh)
+            if cfg.train.steps_per_dispatch > 1:
+                self._multi_fn = make_parallel_scanned_train_step(cfg, mesh)
         else:
             self.text_encoder_params = jax.device_put(text_encoder_params)
-            from .step import make_jitted_train_step
+            from .step import (make_jitted_scanned_train_step,
+                               make_jitted_train_step)
 
             self._step_fn = make_jitted_train_step(cfg)
+            if cfg.train.steps_per_dispatch > 1:
+                self._multi_fn = make_jitted_scanned_train_step(cfg)
         self._normalize = jax.jit(
             lambda u8: u8.astype(jnp.float32) / 127.5 - 1.0)
         self._sample_fn = jax.jit(
@@ -110,18 +116,75 @@ class Trainer:
             images = self._normalize(images)
         return images, captions, cap_lens
 
+    def _step_single(self, batch) -> Dict[str, jnp.ndarray]:
+        """One per-batch dispatch of the 3-phase step (the default path)."""
+        images, captions, cap_lens = self._device_batch(batch)
+        self.state, metrics = self._step_fn(
+            self.state, self.text_encoder_params, images, captions, cap_lens)
+        return metrics
+
+    def _step_stacked(self, batches) -> Dict[str, jnp.ndarray]:
+        """One `steps_per_dispatch` device-loop dispatch: stack the host
+        batches on a leading scan axis and run them through the scanned step
+        (train/step.py::make_scanned_train_step). Returned metric leaves are
+        stacked `[n]` — one value per inner step."""
+        images = np.stack([np.asarray(b["images"]) for b in batches])
+        captions = np.stack([np.asarray(b["captions"]) for b in batches])
+        cap_lens = np.stack([np.asarray(b["cap_lens"]) for b in batches])
+        if self.mesh is not None:
+            from ..parallel.dp import shard_batch_stack
+
+            images, captions, cap_lens = shard_batch_stack(
+                self.mesh, self.cfg, images, captions, cap_lens)
+        else:
+            images = jax.device_put(images)
+            captions = jax.device_put(captions)
+            cap_lens = jax.device_put(cap_lens)
+        if images.dtype == jnp.uint8:
+            images = self._normalize(images)
+        self.state, metrics = self._multi_fn(
+            self.state, self.text_encoder_params, images, captions, cap_lens)
+        return metrics
+
     def train_epoch(self, train_loader) -> Dict[str, float]:
         metric_accum: Dict[str, List[jnp.ndarray]] = {}
-        for batch in train_loader:
-            images, captions, cap_lens = self._device_batch(batch)
-            self.state, metrics = self._step_fn(
-                self.state, self.text_encoder_params, images, captions,
-                cap_lens)
+
+        def accum(metrics):
             for k, v in metrics.items():
                 metric_accum.setdefault(k, []).append(v)
-        # single host sync for the whole epoch
+
+        n_disp = self.cfg.train.steps_per_dispatch
+        if n_disp > 1:
+            # Device loop: group batches into full chunks of n_disp; the
+            # ragged tail (or any mid-epoch batch-size change) falls back to
+            # the single-step program IN ORDER, so the step sequence — and
+            # therefore the training trajectory — is identical to n_disp=1.
+            chunk: list = []
+
+            def flush():
+                nonlocal chunk
+                if len(chunk) == n_disp:
+                    accum(self._step_stacked(chunk))
+                else:
+                    for b in chunk:
+                        accum(self._step_single(b))
+                chunk = []
+
+            for batch in train_loader:
+                if chunk and (len(batch["cap_lens"])
+                              != len(chunk[0]["cap_lens"])):
+                    flush()
+                chunk.append(batch)
+                if len(chunk) == n_disp:
+                    flush()
+            flush()
+        else:
+            for batch in train_loader:
+                accum(self._step_single(batch))
+        # single host sync for the whole epoch; each metric stream flattens
+        # to one value per STEP (stacked-dispatch entries contribute n each)
         active = metric_accum.pop("d_gp_active", None)
-        out = {k: np.asarray(jax.device_get(v))
+        out = {k: np.concatenate([np.ravel(x) for x in jax.device_get(v)])
                for k, v in metric_accum.items()}
         means = {k: float(np.mean(v)) for k, v in out.items()}
         if active is not None:
@@ -133,7 +196,8 @@ class Trainer:
             # cadence. (A plain mean over ALL steps of the k-scaled value
             # would coincidentally match too — the k coefficient and 1/k
             # frequency cancel — but only for the mean, not per-step logs.)
-            mask = np.asarray(jax.device_get(active))
+            mask = np.concatenate([np.ravel(x)
+                                   for x in jax.device_get(active)])
             n_active = float(mask.sum())
             means["d_gp_loss"] = (
                 float((out["d_gp_loss"] * mask).sum() / n_active)

@@ -35,7 +35,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           compile_cache_dir: Optional[str] = None,
           n_channels: int = 32, eval_augment: bool = False,
           d_lane_pad: int = 0, g_lane_pad: int = 0,
-          lane_pad_min_ch: int = 0, image_pad: int = 0):
+          lane_pad_min_ch: int = 0, image_pad: int = 0,
+          steps_per_dispatch: int = 1):
     import jax
 
     if compile_cache_dir:
@@ -101,7 +102,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
         batch_size=batch_size, num_epochs=num_epochs, seed=seed,
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
         checkpoint_every_epochs=ckpt_every,
-        xla_scoped_vmem_kib=xla_vmem_kib)
+        xla_scoped_vmem_kib=xla_vmem_kib,
+        steps_per_dispatch=steps_per_dispatch)
 
     # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
     # always-on and a no-op outside --multihost).
@@ -225,6 +227,11 @@ def main():
                    help="enable jax_debug_nans (fail fast on NaN)")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel over all devices (batch sharded)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="device loop: run N full train steps per host "
+                        "dispatch via one jitted lax.scan over stacked "
+                        "batches (exact math; amortizes dispatch latency — "
+                        "biggest win on remote/relay-attached devices)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() for multi-host DP "
                         "(implies --dp; per-host input sharding)")
@@ -239,7 +246,8 @@ def main():
           xla_vmem_kib=a.xla_vmem_kib, matmul_precision=a.matmul_precision,
           compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment,
           d_lane_pad=a.d_lane_pad, g_lane_pad=a.g_lane_pad,
-          lane_pad_min_ch=a.lane_pad_min_ch, image_pad=a.image_pad)
+          lane_pad_min_ch=a.lane_pad_min_ch, image_pad=a.image_pad,
+          steps_per_dispatch=a.steps_per_dispatch)
 
 
 if __name__ == "__main__":

@@ -97,3 +97,49 @@ class TestConvFlops:
                 'window={size=3x3}, dim_labels=b01f_01io->b01f')
         flops, info = conv_flops_from_line(line, {"a": [2, 8, 8, 4]})
         assert flops == 0 and info is None
+
+
+class TestLazyGpReport:
+    """Decision-rule unit tests for tools/lazy_gp_ab.py::build_report (the
+    gp_interval promotion evidence harness) — the aggregation must be
+    correct BEFORE it spends an hour of chip time."""
+
+    @staticmethod
+    def _leg(fid, g=0.5, d=1.5, gp=0.01, n=40):
+        return {"fid_score": np.full(n, fid, np.float64),
+                "is_score": np.full(n, 1.2), "g_loss": np.full(n, g),
+                "d_loss": np.full(n, d), "d_gp_loss": np.full(n, gp),
+                "epoch_seconds": np.full(n, 1.0)}
+
+    def _report(self, fid1a, fid4a, fid1b, **cand_overrides):
+        from lazy_gp_ab import build_report
+        legs = {"gp4_seedA": self._leg(fid4a, **cand_overrides),
+                "gp1_seedA": self._leg(fid1a), "gp1_seedB": self._leg(fid1b)}
+        return build_report(legs, 4)
+
+    def test_promotes_within_noise(self):
+        r = self._report(fid1a=100.0, fid4a=103.0, fid1b=104.0)
+        # effect 3.0 <= max(1.5*4.0, 10.0) = 10.0
+        assert r["verdict"] == "PROMOTE"
+        assert r["fid_effect_gp_interval"] == 3.0
+        assert r["fid_noise_cross_seed"] == 4.0
+
+    def test_rejects_large_effect(self):
+        r = self._report(fid1a=100.0, fid4a=130.0, fid1b=101.0)
+        # effect 30 > max(1.5*1, 10.0)
+        assert r["verdict"] == "KEEP_OPT_IN"
+
+    def test_rejects_unhealthy_candidate_even_if_fid_close(self):
+        r = self._report(fid1a=100.0, fid4a=100.5, fid1b=101.0, d=5.0)
+        assert r["verdict"] == "KEEP_OPT_IN"
+        assert not r["health"]["gp4_seedA"]["d_loss_band"]
+
+    def test_rejects_nonfinite_candidate(self):
+        r = self._report(fid1a=100.0, fid4a=float("inf"), fid1b=101.0)
+        assert r["verdict"] == "KEEP_OPT_IN"
+
+    def test_tail_mean_uses_last_quarter(self):
+        from lazy_gp_ab import tail_mean
+        x = np.concatenate([np.full(30, 100.0), np.full(10, 50.0)])
+        assert tail_mean(x) == 50.0
+        assert tail_mean(np.array([float("nan"), 3.0]), frac=1.0) == 3.0

@@ -7,14 +7,23 @@ relay timing rules: the window ends with an np.asarray fetch; per-dispatch
 timing alone lies). Also probes raw dispatch latency (trivial jit) and
 host->device transfer bandwidth, so the A/B delta can be attributed.
 
+Round-5 hardening (VERDICT r4 "dispatch_probe_dbuf timed out twice at
+rc=124"): a PROBE_BUDGET_S daemon-thread watchdog (bench.py's pattern)
+prints the arms measured so far and exits 0 instead of dying silently; the
+two scanned arms share ONE compiled step (the r4 version rebuilt the jit
+wrapper per arm, paying a second multi-minute remote compile); and the
+double-buffered arm pre-stages its first chunk before the timer starts so
+the A/B reads steady-state rates for every arm (ADVICE r4).
+
 Usage: python tools/dispatch_probe.py [--image-size 256] [--batch 64]
-       [--dtype bfloat16] [--steps 24] [--chunk 4] [--quick]
+       [--dtype bfloat16] [--steps 24] [--chunk 4] [--probe-only]
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -31,7 +40,26 @@ def main():
     ap.add_argument("--chunk", type=int, default=4)
     ap.add_argument("--probe-only", action="store_true",
                     help="only the latency/bandwidth microprobes")
+    ap.add_argument("--arms", default="single,dprefetch,scan4,scan4+dbuf",
+                    help="comma list of arms to run (scan arm names embed "
+                         "--chunk, e.g. scan4)")
     args = ap.parse_args()
+    args.arms = args.arms.replace("scan4", f"scan{args.chunk}")
+
+    # Budget watchdog (bench.py rationale: the main thread can sit blocked in
+    # a C call — remote compile / value fetch — where signal handlers don't
+    # run; only a daemon thread reliably gets us out). Results print as each
+    # arm completes, so a budget bail still leaves every finished number.
+    budget_s = float(os.environ.get("PROBE_BUDGET_S", 1500))
+
+    def _bail():
+        print(f"[probe] BUDGET EXCEEDED ({budget_s:.0f}s): results above are "
+              f"the arms that completed", flush=True)
+        os._exit(0)
+
+    watchdog = threading.Timer(budget_s, _bail)
+    watchdog.daemon = True
+    watchdog.start()
 
     import jax
     import jax.numpy as jnp
@@ -72,11 +100,10 @@ def main():
     print(f"device_put_{mb:.0f}MB_ms={put_ms:.1f} "
           f"bw_MBps={mb / (put_ms / 1e3):.0f}", flush=True)
     if args.probe_only:
+        watchdog.cancel()
         return
 
     # --- the real A/B: single-step loop vs scanned device loop ---
-    import dataclasses
-
     from gan_codes_tpu.config import GANConfig, TrainConfig
     from gan_codes_tpu.train.state import create_train_state
     from gan_codes_tpu.train.step import (make_jitted_scanned_train_step,
@@ -96,11 +123,37 @@ def main():
                         (args.batch,), np.int32)
     normalize = jax.jit(lambda u8: u8.astype(jnp.float32) / 127.5 - 1.0)
 
-    def arm_single(n_steps, state):
+    # ONE compile per program: step1 for the host loop, stepk shared by BOTH
+    # scanned arms (the arms differ only in host-side upload scheduling).
+    step1 = make_jitted_train_step(cfg)
+    stepk = make_jitted_scanned_train_step(cfg)
+
+    def arm_single(n_steps, state, _prestaged):
         for _ in range(n_steps):
             ib = normalize(jax.device_put(imgs))
             state, m = step1(state, te, ib, jax.device_put(caps),
                              jax.device_put(lens))
+        np.asarray(m["d_loss"])  # sync
+        return state
+
+    from concurrent.futures import ThreadPoolExecutor
+    uploader = ThreadPoolExecutor(1)
+
+    def _upload():
+        return (normalize(jax.device_put(imgs)), jax.device_put(caps),
+                jax.device_put(lens))
+
+    def arm_single_dprefetch(n_steps, state, prestaged):
+        # one-ahead threaded upload: batch i+1's device_put runs on a
+        # worker thread while batch i's step is dispatched/executing —
+        # the candidate trainer feed path for transfer-bound relays
+        # (Trainer device_prefetch knob mirrors this exactly)
+        fut = prestaged if prestaged is not None else uploader.submit(_upload)
+        for i in range(n_steps):
+            cur = fut.result()
+            if i + 1 < n_steps:
+                fut = uploader.submit(_upload)
+            state, m = step1(state, te, *cur)
         np.asarray(m["d_loss"])  # sync
         return state
 
@@ -113,48 +166,55 @@ def main():
         return (normalize(jax.device_put(si)), jax.device_put(sc),
                 jax.device_put(sl))
 
-    def arm_scanned(n_steps, state):
+    def arm_scanned(n_steps, state, _prestaged):
         for _ in range(n_steps // args.chunk):
             state, m = stepk(state, te, *_stack())
         np.asarray(m["d_loss"])  # sync
         return state
 
-    def arm_scanned_dbuf(n_steps, state):
+    def arm_scanned_dbuf(n_steps, state, prestaged):
         # double-buffered: enqueue chunk i's scan, THEN start uploading
-        # chunk i+1 so the transfer overlaps the device loop's compute
-        nxt = _stack()
+        # chunk i+1 so the transfer overlaps the device loop's compute.
+        # The first chunk arrives pre-staged (uploaded before the timer):
+        # the timed window reads the steady state, same as a real epoch
+        # where batch 0's upload overlaps the previous epoch's tail.
+        nxt = prestaged
         for i in range(n_steps // args.chunk):
-            cur, state_in = nxt, state
-            state, m = stepk(state_in, te, *cur)
+            cur = nxt
+            state, m = stepk(state, te, *cur)
             if i + 1 < n_steps // args.chunk:
                 nxt = _stack()
         np.asarray(m["d_loss"])  # sync
         return state
 
-    for name, build, arm in (
-            ("single", make_jitted_train_step, arm_single),
-            (f"scan{args.chunk}",
-             lambda c: make_jitted_scanned_train_step(c), arm_scanned),
-            (f"scan{args.chunk}+dbuf",
-             lambda c: make_jitted_scanned_train_step(c), arm_scanned_dbuf)):
-        fn = build(cfg)
-        if name == "single":
-            step1 = fn
-        else:
-            stepk = fn
+    all_arms = {
+        "single": (arm_single, None),
+        "dprefetch": (arm_single_dprefetch,
+                      lambda: uploader.submit(_upload)),
+        f"scan{args.chunk}": (arm_scanned, None),
+        f"scan{args.chunk}+dbuf": (arm_scanned_dbuf, _stack),
+    }
+    results = {}
+    for name in args.arms.split(","):
+        arm, prestage = all_arms[name]
         state = jax.jit(lambda k: create_train_state(k, cfg))(
             jax.random.PRNGKey(0))
         t0 = time.perf_counter()
-        state = arm(args.chunk, state)  # warmup (compile) — one chunk's worth
+        state = arm(args.chunk, state, prestage() if prestage else None)
         print(f"{name}: compile+warm {time.perf_counter() - t0:.1f}s",
               flush=True)
+        staged = prestage() if prestage else None  # staged OUTSIDE the timer
         t0 = time.perf_counter()
-        state = arm(args.steps, state)
+        state = arm(args.steps, state, staged)
         wall = time.perf_counter() - t0
         ips = args.steps * args.batch / wall
+        results[name] = ips
         print(f"{name}: {wall:.2f}s for {args.steps} steps = "
               f"{ips:.1f} img/s (host loop incl. transfers)", flush=True)
         del state
+    watchdog.cancel()
+    print("SUMMARY " + " ".join(f"{k}={v:.1f}" for k, v in results.items()),
+          flush=True)
 
 
 if __name__ == "__main__":

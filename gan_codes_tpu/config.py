@@ -242,6 +242,22 @@ class TrainConfig:
     # measured in PERF.md). Epochs whose batch count is not a multiple run
     # the remainder through the single-step program (a second compile).
     steps_per_dispatch: int = 1
+    # One-ahead threaded device upload: batch i+1's host->device transfer
+    # runs on a worker thread while batch i's step executes. Exact same
+    # step sequence/trajectory — only WHEN the transfer happens changes.
+    # Matters when the host->device link is the bottleneck (the dev
+    # relay's ~30-50 MB/s; tools/dispatch_probe.py `dprefetch` arm
+    # measures it). Single-process only: the trainer ignores it under a
+    # multi-host mesh, where make_array_from_process_local_data must stay
+    # on the main thread with the collectives.
+    device_prefetch: bool = False
+    # Structured per-step scalar logging (SURVEY §5 metrics row): 0 = the
+    # default per-epoch JSONL rows only; N > 0 additionally flushes every
+    # Nth step's loss scalars as `kind="step"` rows at epoch end. No extra
+    # host syncs — the values already ride the one per-epoch metrics fetch
+    # (Trainer.train_epoch's accumulator); this only changes what is
+    # written to disk.
+    log_every_steps: int = 0
 
     @property
     def compute_jnp_dtype(self):

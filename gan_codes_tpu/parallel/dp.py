@@ -19,8 +19,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GANConfig
-from .mesh import make_mesh
+from .mesh import DCN_AXIS, make_mesh
 from ..train.step import make_train_step
+
+
+def batch_axes(mesh: Mesh, cfg: GANConfig):
+    """Mesh axes the global-batch dimension shards over: the ICI `data`
+    axis, preceded by the DCN `replica` axis when the mesh is hybrid
+    (mesh.py::make_hybrid_mesh). Replica-major order keeps each slice's
+    shard a CONTIGUOUS block of the global batch, so per-host loader shards
+    (DataLoader shard_id=process_index) land on their own slice's devices
+    without DCN reshuffling."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, cfg.train.data_axis)
+    return cfg.train.data_axis
 
 
 def make_parallel_train_step(cfg: GANConfig, mesh: Mesh,
@@ -29,7 +41,7 @@ def make_parallel_train_step(cfg: GANConfig, mesh: Mesh,
     batch tensors sharded on the data axis."""
     step = make_train_step(cfg)
     replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P(cfg.train.data_axis))
+    batch_sharded = NamedSharding(mesh, P(batch_axes(mesh, cfg)))
     return jax.jit(
         step,
         in_shardings=(replicated, replicated, batch_sharded, batch_sharded,
@@ -52,7 +64,7 @@ def make_parallel_scanned_train_step(cfg: GANConfig, mesh: Mesh,
 
     multi = make_scanned_train_step(cfg)
     replicated = NamedSharding(mesh, P())
-    stack_sharded = NamedSharding(mesh, P(None, cfg.train.data_axis))
+    stack_sharded = NamedSharding(mesh, P(None, batch_axes(mesh, cfg)))
     return jax.jit(
         multi,
         in_shardings=(replicated, replicated, stack_sharded, stack_sharded,
@@ -68,7 +80,7 @@ def shard_batch_stack(mesh: Mesh, cfg: GANConfig, images, captions, cap_lens):
     the scan (step) axis, axis 1 the batch axis sharded over `data`. Under
     multi-host each process passes its stacked LOCAL shards and the global
     stacked batch is assembled across processes, exactly like shard_batch."""
-    sharding = NamedSharding(mesh, P(None, cfg.train.data_axis))
+    sharding = NamedSharding(mesh, P(None, batch_axes(mesh, cfg)))
     if jax.process_count() > 1:
         def put(x):
             return jax.make_array_from_process_local_data(
@@ -86,7 +98,7 @@ def shard_batch(mesh: Mesh, cfg: GANConfig, images, captions, cap_lens):
     holds its own loader shard (`DataLoader(shard_id=process_index)`), and the
     global batch is assembled from the per-process local shards — so the
     global batch size is local_batch * process_count."""
-    sharding = NamedSharding(mesh, P(cfg.train.data_axis))
+    sharding = NamedSharding(mesh, P(batch_axes(mesh, cfg)))
     if jax.process_count() > 1:
         def put(x):
             return jax.make_array_from_process_local_data(

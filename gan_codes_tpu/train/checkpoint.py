@@ -50,6 +50,12 @@ CONFIG_RESUME_MUTABLE = frozenset({
     # Dispatch grouping only — each inner scan step is the full 3-phase
     # step on its own batch, so the training trajectory is unchanged.
     "train.steps_per_dispatch",
+    # Logging cadence only — what gets WRITTEN to the metrics JSONL, not
+    # what gets computed; the trajectory is unchanged.
+    "train.log_every_steps",
+    # Transfer scheduling only — moves device_put to a worker thread; the
+    # step sequence and numerics are identical.
+    "train.device_prefetch",
 })
 
 

@@ -94,6 +94,9 @@ class Trainer:
         # see _cached_real_side()
         self._real_fid_stats = None
         self._eval_rng = self._eval_base
+        # per-step scalar series of the last train_epoch (only retained when
+        # cfg.train.log_every_steps > 0; consumed by fit's step-row flush)
+        self._last_step_series = None
 
     def close(self) -> None:
         """Release the JSONL log file handle (idempotent)."""
@@ -170,14 +173,45 @@ class Trainer:
                         accum(self._step_single(b))
                 chunk = []
 
+            def shapes(b):
+                return (b["images"].shape, b["captions"].shape,
+                        b["cap_lens"].shape)
+
             for batch in train_loader:
-                if chunk and (len(batch["cap_lens"])
-                              != len(chunk[0]["cap_lens"])):
+                # Key the chunk guard on FULL array shapes, not just batch
+                # length: a loader emitting a different caption pad width
+                # mid-epoch would otherwise reach np.stack and raise there
+                # instead of taking the single-step fallback.
+                if chunk and shapes(batch) != shapes(chunk[0]):
                     flush()
                 chunk.append(batch)
                 if len(chunk) == n_disp:
                     flush()
             flush()
+        elif self.cfg.train.device_prefetch and jax.process_count() == 1:
+            # One-ahead threaded upload (TrainConfig.device_prefetch):
+            # batch i+1's device_put overlaps batch i's (async-dispatched)
+            # step — the win on transfer-bound links. Identical step
+            # sequence; only the transfer timing moves off the main thread.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as uploader:
+                fut = None
+                for batch in train_loader:
+                    nxt = uploader.submit(self._device_batch, batch)
+                    if fut is not None:
+                        images, captions, cap_lens = fut.result()
+                        self.state, metrics = self._step_fn(
+                            self.state, self.text_encoder_params, images,
+                            captions, cap_lens)
+                        accum(metrics)
+                    fut = nxt
+                if fut is not None:
+                    images, captions, cap_lens = fut.result()
+                    self.state, metrics = self._step_fn(
+                        self.state, self.text_encoder_params, images,
+                        captions, cap_lens)
+                    accum(metrics)
         else:
             for batch in train_loader:
                 accum(self._step_single(batch))
@@ -187,6 +221,11 @@ class Trainer:
         out = {k: np.concatenate([np.ravel(x) for x in jax.device_get(v)])
                for k, v in metric_accum.items()}
         means = {k: float(np.mean(v)) for k, v in out.items()}
+        # Per-step scalar series for fit()'s optional step-row logging
+        # (TrainConfig.log_every_steps): the SAME host fetch as the means —
+        # keeping a reference costs nothing extra.
+        self._last_step_series = dict(out) \
+            if self.cfg.train.log_every_steps > 0 else None
         if active is not None:
             # Lazy regularization (gp_interval > 1): average d_gp_loss over
             # the steps where the GP phase actually ran. The step already
@@ -198,11 +237,33 @@ class Trainer:
             # frequency cancel — but only for the mean, not per-step logs.)
             mask = np.concatenate([np.ravel(x)
                                    for x in jax.device_get(active)])
+            if self._last_step_series is not None:
+                self._last_step_series["d_gp_active"] = mask
             n_active = float(mask.sum())
             means["d_gp_loss"] = (
                 float((out["d_gp_loss"] * mask).sum() / n_active)
                 if n_active > 0 else 0.0)
         return means
+
+    def _flush_step_rows(self, epoch: int) -> None:
+        """Write every `log_every_steps`-th step's scalars as `kind="step"`
+        JSONL rows (SURVEY §5 "structured per-step scalars"). Called at epoch
+        end on process 0, BEFORE the epoch row so rows stay time-ordered.
+        The rows carry `epoch` so a resume's `truncate_from(start_epoch)`
+        drops replayed step rows together with their epoch row; per-epoch
+        consumers (tools/longrun.py, plotting) filter on `kind`/key presence
+        and are unaffected when the knob is off (the default)."""
+        series = self._last_step_series
+        k = self.cfg.train.log_every_steps
+        if not series or k <= 0:
+            return
+        n = len(next(iter(series.values())))
+        first = int(self.state.step) - n  # global step idx before this epoch
+        for i in range(k - 1, n, k):
+            self.metrics_log.log(
+                first + i + 1, kind="step", epoch=epoch,
+                **{key: float(v[i]) for key, v in series.items()})
+        self._last_step_series = None
 
     # ------------------------------------------------------------------
 
@@ -431,6 +492,7 @@ class Trainer:
 
             dt = time.time() - t0
             if jax.process_index() == 0:
+                self._flush_step_rows(epoch)
                 self.metrics_log.log(
                     int(self.state.step), epoch=epoch, epoch_seconds=dt,
                     g_loss=histories["g_losses"][-1],

@@ -36,8 +36,17 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           n_channels: int = 32, eval_augment: bool = False,
           d_lane_pad: int = 0, g_lane_pad: int = 0,
           lane_pad_min_ch: int = 0, image_pad: int = 0,
-          steps_per_dispatch: int = 1):
+          steps_per_dispatch: int = 1, log_every_steps: int = 0,
+          mesh_layout: str = "flat", mesh_slices: int = 0,
+          device_prefetch: bool = False):
     import jax
+
+    # Test/harness hook: this image's sitecustomize registers the axon TPU
+    # backend at interpreter start and IGNORES the JAX_PLATFORMS env var, so
+    # subprocess harnesses (tools/lazy_gp_ab.py CPU smoke mode, CI) force the
+    # platform here, before the first device query (conftest.py rationale).
+    if os.environ.get("GAN_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GAN_PLATFORM"])
 
     if compile_cache_dir:
         if multihost:
@@ -103,7 +112,9 @@ def train(data_path: str, encoder_weights_path: Optional[str],
         compute_dtype=compute_dtype, eval_use_ema=eval_use_ema,
         checkpoint_every_epochs=ckpt_every,
         xla_scoped_vmem_kib=xla_vmem_kib,
-        steps_per_dispatch=steps_per_dispatch)
+        steps_per_dispatch=steps_per_dispatch,
+        log_every_steps=log_every_steps,
+        device_prefetch=device_prefetch)
 
     # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
     # always-on and a no-op outside --multihost).
@@ -127,9 +138,18 @@ def train(data_path: str, encoder_weights_path: Optional[str],
 
     mesh = None
     if data_parallel:
-        from .parallel import make_mesh
+        if mesh_layout == "hybrid":
+            # DCN-aware multi-slice layout (SURVEY §2.3 DP row): devices
+            # grouped by physical slice (or per-process under multi-host
+            # CPU), gradient psum ICI-contiguous within a slice, only the
+            # outer `replica` axis crossing DCN (parallel/mesh.py).
+            from .parallel import make_hybrid_mesh
 
-        mesh = make_mesh()
+            mesh = make_hybrid_mesh(n_slices=mesh_slices or None)
+        else:
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
         print(f"Data-parallel over mesh: {dict(mesh.shape)}")
 
     trainer = Trainer(cfg, te_params, gen_path_save, image_save_path,
@@ -232,9 +252,29 @@ def main():
                         "dispatch via one jitted lax.scan over stacked "
                         "batches (exact math; amortizes dispatch latency — "
                         "biggest win on remote/relay-attached devices)")
+    p.add_argument("--device-prefetch", action="store_true",
+                   help="upload batch i+1 on a worker thread while batch "
+                        "i's step runs (identical trajectory; wins when "
+                        "host->device transfer is the bottleneck — see "
+                        "tools/dispatch_probe.py). Single-process only")
+    p.add_argument("--log-every-steps", type=int, default=0,
+                   help="also write every Nth step's loss scalars as "
+                        "kind='step' JSONL rows (0 = per-epoch rows only; "
+                        "no extra host syncs — reuses the per-epoch fetch)")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize() for multi-host DP "
                         "(implies --dp; per-host input sharding)")
+    p.add_argument("--mesh-layout", default="flat",
+                   choices=["flat", "hybrid"],
+                   help="DP mesh layout: 'flat' = one data axis over all "
+                        "devices; 'hybrid' = DCN-aware (replica, data, "
+                        "model) mesh grouping devices by physical slice so "
+                        "gradient collectives stay ICI-contiguous within a "
+                        "slice (multi-slice deployments)")
+    p.add_argument("--mesh-slices", type=int, default=0,
+                   help="force N virtual slices for --mesh-layout hybrid "
+                        "when the platform reports one slice (testing; "
+                        "0 = group by hardware)")
     a = p.parse_args()
     train(a.data, a.text_encoder, a.images, a.weights, a.image_size,
           a.batch_size, a.epochs, a.seed, a.inception, a.dtype,
@@ -247,7 +287,10 @@ def main():
           compile_cache_dir=a.compile_cache, eval_augment=a.eval_augment,
           d_lane_pad=a.d_lane_pad, g_lane_pad=a.g_lane_pad,
           lane_pad_min_ch=a.lane_pad_min_ch, image_pad=a.image_pad,
-          steps_per_dispatch=a.steps_per_dispatch)
+          steps_per_dispatch=a.steps_per_dispatch,
+          log_every_steps=a.log_every_steps,
+          mesh_layout=a.mesh_layout, mesh_slices=a.mesh_slices,
+          device_prefetch=a.device_prefetch)
 
 
 if __name__ == "__main__":

@@ -73,9 +73,11 @@ class MetricsLogger:
 
         rec = {"step": int(step), "time": time.time()}
         for k, v in scalars.items():
-            # Stringify non-finite floats (FID inf sentinel): bare
-            # `Infinity` tokens are invalid JSON (utils/jsonio.py).
-            rec[k] = sanitize_nonfinite(float(v))
+            # Strings pass through (row tags like kind="step"); numbers are
+            # floated, with non-finite values stringified (the FID inf
+            # sentinel) — bare `Infinity` tokens are invalid JSON
+            # (utils/jsonio.py).
+            rec[k] = v if isinstance(v, str) else sanitize_nonfinite(float(v))
         self._fh.write(json.dumps(rec, allow_nan=False) + "\n")
         self._fh.flush()
 

@@ -36,7 +36,7 @@ def run_train(spec) -> dict:
                                       TextEncoderConfig, TrainConfig)
     from gan_codes_tpu.data import CUBDataset, DataLoader
     from gan_codes_tpu.models.text_encoder import init_text_encoder
-    from gan_codes_tpu.parallel import make_mesh
+    from gan_codes_tpu.parallel import make_hybrid_mesh, make_mesh
     from gan_codes_tpu.train.trainer import Trainer
 
     root = spec["data_root"]
@@ -49,7 +49,15 @@ def run_train(spec) -> dict:
         train=TrainConfig(batch_size=4, eval_max_batches=1, seed=7),
         data=DataConfig(data_dir=root, image_size=16),
     )
-    mesh = make_mesh()
+    if spec.get("hybrid_mesh"):
+        # DCN-aware mesh: each PROCESS's local devices form one "slice"
+        # (mesh.py::_slice_id falls back to process_index on CPU), so the
+        # replica axis is exactly the Gloo-crossing boundary here — the
+        # CPU-testable analogue of a multi-slice TPU deployment.
+        mesh = make_hybrid_mesh()
+        assert mesh.shape["replica"] == jax.process_count(), mesh.shape
+    else:
+        mesh = make_mesh()
     te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
     train_ds = CUBDataset(DataConfig(data_dir=root, image_size=16), "train")
 

@@ -125,6 +125,13 @@ class TestCheckpointRoundTrip:
                                               lane_pad_min_ch=8))
         mgr.verify_config(padded)
 
+        # logging cadence is resume-mutable (changes what's WRITTEN, not
+        # what's computed): enabling per-step rows mid-stream must not
+        # block the restore
+        steplog = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, log_every_steps=2))
+        mgr.verify_config(steplog)
+
         # checkpoints predating config persistence verify as a no-op
         os.remove(str(tmp_path / "ckpt" / "config.json"))
         mgr.verify_config(grown)

@@ -244,6 +244,49 @@ class TestTrainerE2E:
                                    np.mean(active_losses), rtol=1e-6)
         assert "d_gp_active" not in epoch_metrics
 
+    def test_log_every_steps_writes_step_rows(self, setup):
+        """TrainConfig.log_every_steps (SURVEY §5 per-step scalars): fit
+        writes kind='step' rows — one per Nth step, tagged with their epoch
+        (so resume's truncate_from drops them with the epoch) — while the
+        per-epoch rows keep their schema."""
+        import dataclasses
+        import json
+
+        cfg, train_ds, test_ds, te_params, work = setup
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, log_every_steps=1))
+        ckpt_dir = os.path.join(work, "steplog_ckpt")
+        trainer = Trainer(cfg, te_params, ckpt_dir,
+                          os.path.join(work, "steplog_imgs"),
+                          code2word=train_ds.code2word)
+        trainer.fit(DataLoader(train_ds, 4, seed=0),
+                    DataLoader(test_ds, 4, shuffle=False),
+                    num_epochs=2, auto_resume=False)
+        trainer.close()
+
+        rows = [json.loads(l) for l in
+                open(os.path.join(ckpt_dir, "metrics_log.jsonl"))]
+        step_rows = [r for r in rows if r.get("kind") == "step"]
+        epoch_rows = [r for r in rows if "epoch_seconds" in r]
+        # 8 train images / bs4 = 2 steps per epoch, 2 epochs
+        assert [r["step"] for r in step_rows] == [1, 2, 3, 4]
+        assert [r["epoch"] for r in step_rows] == [0, 0, 1, 1]
+        assert all(np.isfinite(r["g_loss"]) and np.isfinite(r["d_loss"])
+                   for r in step_rows)
+        assert len(epoch_rows) == 2 and "kind" not in epoch_rows[0]
+        # rows are time-ordered: an epoch's step rows precede its epoch row
+        kinds = [("step" if r.get("kind") == "step" else "epoch")
+                 for r in rows]
+        assert kinds == ["step", "step", "epoch", "step", "step", "epoch"]
+        # a replayed epoch's step rows vanish with its epoch row
+        trainer.metrics_log = type(trainer.metrics_log)(
+            os.path.join(ckpt_dir, "metrics_log.jsonl"))
+        trainer.metrics_log.truncate_from(1)
+        rows = [json.loads(l) for l in
+                open(os.path.join(ckpt_dir, "metrics_log.jsonl"))]
+        assert all(r["epoch"] < 1 for r in rows)
+        trainer.close()
+
     def test_generate_ema_vs_raw_diverge(self, setup):
         """After training steps, EMA and raw generator outputs differ for the
         same captions+noise (the EMA copy is connected, not dead state)."""

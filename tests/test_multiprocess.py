@@ -151,6 +151,33 @@ class TestTwoProcessDP:
                                        rtol=0, atol=0)
         assert resumed[0]["step"] == straight[0]["step"]
 
+    def test_hybrid_mesh_train_matches_flat_mesh(self, mp_env):
+        """The DCN-aware (replica, data, model) mesh — one 'slice' per
+        process, collectives crossing Gloo only on the replica axis —
+        trains in lockstep AND lands on the same numbers as the flat-mesh
+        run (same seed/data): the hybrid layout changes the collective
+        schedule, not the math (SURVEY §2.3 DP row)."""
+        tmp = mp_env["tmp"]
+        base = {k: mp_env[k] for k in
+                ("data_root", "n_words", "cache_dir", "local_devices")}
+        base.update(mode="train", img_dir=os.path.join(tmp, "imgs_hy"))
+
+        hybrid = _run_pair(dict(base, hybrid_mesh=True, epochs=2,
+                                ckpt_dir=os.path.join(tmp, "ckpt_hybrid")),
+                           tmp, "hybrid")
+        assert hybrid[0]["g_digest"] == hybrid[1]["g_digest"]
+        assert hybrid[0]["opt_digest"] == hybrid[1]["opt_digest"]
+        assert hybrid[0]["histories"] == hybrid[1]["histories"]
+        flat = _run_pair(dict(base, epochs=2,
+                              ckpt_dir=os.path.join(tmp, "ckpt_flat2")),
+                         tmp, "flat2")
+        # same global batches, same replicated math: histories agree to
+        # reduction-order tolerance across the two mesh layouts
+        for key in ("g_losses", "d_losses", "d_gp_losses"):
+            np.testing.assert_allclose(hybrid[0]["histories"][key],
+                                       flat[0]["histories"][key],
+                                       rtol=2e-4, atol=1e-5)
+
     def test_eval_moment_reduction_matches_direct(self, mp_env):
         """Cross-process IS/FID via summed moments == the direct single-host
         scores on the same global image set, identical on every process

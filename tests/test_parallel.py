@@ -8,7 +8,8 @@ import pytest
 from gan_codes_tpu.config import (DiscriminatorConfig, GANConfig,
                                   GeneratorConfig, TextEncoderConfig)
 from gan_codes_tpu.models.text_encoder import init_text_encoder
-from gan_codes_tpu.parallel import (make_mesh, make_parallel_train_step,
+from gan_codes_tpu.parallel import (DCN_AXIS, batch_axes, make_hybrid_mesh,
+                                    make_mesh, make_parallel_train_step,
                                     replicate, shard_batch)
 from gan_codes_tpu.train.state import create_train_state
 from gan_codes_tpu.train.step import make_train_step
@@ -46,6 +47,31 @@ class TestMesh:
         mesh2 = make_mesh(n_data=4)
         assert mesh2.shape["data"] == 4
 
+    def test_hybrid_mesh_axis_contract(self):
+        """DCN-aware mesh (SURVEY §2.3 DP row): slices become the outer
+        `replica` axis, each slice's devices stay contiguous on the inner
+        `data` axis (ICI), and dp's batch spec widens to (replica, data)."""
+        mesh = make_hybrid_mesh(n_slices=2)
+        assert mesh.shape == {DCN_AXIS: 2, "data": 4, "model": 1}
+        assert mesh.axis_names == (DCN_AXIS, "data", "model")
+        # virtual slices are contiguous groups of the enumerated devices,
+        # so the data axis never interleaves devices from two slices
+        devs = jax.devices()
+        grid = np.asarray(mesh.devices)
+        assert [d.id for d in grid[0].ravel()] == [d.id for d in devs[:4]]
+        assert [d.id for d in grid[1].ravel()] == [d.id for d in devs[4:]]
+        cfg = tiny_cfg()
+        assert batch_axes(mesh, cfg) == (DCN_AXIS, "data")
+        assert batch_axes(make_mesh(), cfg) == "data"
+
+    def test_hybrid_mesh_rejects_uneven_split(self):
+        with pytest.raises(ValueError):
+            make_hybrid_mesh(n_slices=3)  # 8 devices don't split by 3
+
+    def test_hybrid_mesh_model_axis(self):
+        mesh = make_hybrid_mesh(n_slices=2, n_model=2)
+        assert mesh.shape == {DCN_AXIS: 2, "data": 2, "model": 2}
+
 
 class TestDPEquivalence:
     def test_sharded_step_matches_single_device(self, setup):
@@ -69,6 +95,36 @@ class TestDPEquivalence:
         sharded = shard_batch(mesh, cfg, images, caps, lens)
 
         for step in range(4):
+            state_s, metrics_s = single(state_s, te, images, caps, lens)
+            state_p, metrics_p = pstep(state_p, te_r, *sharded)
+            for k in metrics_s:
+                np.testing.assert_allclose(
+                    float(metrics_s[k]), float(metrics_p[k]),
+                    atol=1e-5, rtol=2e-4, err_msg=f"step {step} metric {k}")
+            for name in ("g_params", "d_params"):
+                for a, b in zip(jax.tree.leaves(getattr(state_s, name)),
+                                jax.tree.leaves(getattr(state_p, name))):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-3,
+                        err_msg=f"step {step} {name}")
+
+    def test_hybrid_mesh_step_matches_single_device(self, setup):
+        """The DCN-aware (replica, data, model) mesh runs the SAME numerics:
+        sharded == single-device with the batch split 2 slices x 4 devices.
+        Guards the (replica, data) batch-spec widening in parallel/dp.py."""
+        cfg, state, te, images, caps, lens = setup
+
+        single = jax.jit(make_train_step(cfg))
+        mesh = make_hybrid_mesh(n_slices=2)
+        pstep = make_parallel_train_step(cfg, mesh, donate_state=False)
+        state_s = state
+        state_p = replicate(mesh, state)
+        te_r = replicate(mesh, te)
+        sharded = shard_batch(mesh, cfg, images, caps, lens)
+        # the batch really is sharded over BOTH axes: 1 example per device
+        assert sharded[0].sharding.spec == jax.sharding.PartitionSpec(
+            (DCN_AXIS, "data"))
+        for step in range(2):
             state_s, metrics_s = single(state_s, te, images, caps, lens)
             state_p, metrics_p = pstep(state_p, te_r, *sharded)
             for k in metrics_s:

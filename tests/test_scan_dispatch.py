@@ -209,3 +209,45 @@ class TestResumeMutability:
         b = tiny_cfg(steps_per_dispatch=4)
         assert config_mismatches(dataclasses.asdict(a),
                                  dataclasses.asdict(b)) == []
+
+
+class TestDevicePrefetch:
+    def test_device_prefetch_trajectory_identical(self, tmp_path):
+        """TrainConfig.device_prefetch moves batch uploads to a worker
+        thread; the step SEQUENCE is unchanged, so a twin epoch with the
+        knob on must land on bit-comparable metrics and params."""
+        from gan_codes_tpu.config import DataConfig
+        from gan_codes_tpu.data import (CUBDataset, DataLoader,
+                                        make_synthetic_cub)
+        from gan_codes_tpu.train.trainer import Trainer
+
+        root = str(tmp_path / "data")
+        make_synthetic_cub(root, n_train=16, n_test=8, image_size=16)
+
+        def run(prefetch, tag):
+            cfg = dataclasses.replace(
+                tiny_cfg(batch_size=4, eval_max_batches=0,
+                         device_prefetch=prefetch),
+                text_encoder=TextEncoderConfig(vocab_size=20, embed_dim=8,
+                                               hidden_dim=256, max_len=18))
+            te = init_text_encoder(jax.random.PRNGKey(1), cfg.text_encoder)
+            tr = Trainer(cfg, te, str(tmp_path / f"ckpt{tag}"),
+                         str(tmp_path / f"imgs{tag}"))
+            loader = DataLoader(CUBDataset(DataConfig(data_dir=root,
+                                                      image_size=16),
+                                           "train"), 4, seed=0)
+            loader.set_epoch(0)
+            means = tr.train_epoch(loader)
+            tr.close()
+            return tr, means
+
+        tr1, means1 = run(False, "off")
+        tr2, means2 = run(True, "on")
+        assert int(tr2.state.step) == int(tr1.state.step) == 4
+        for k in means1:
+            np.testing.assert_allclose(means2[k], means1[k],
+                                       atol=0, rtol=0, err_msg=k)
+        for name in ("g_params", "d_params"):
+            _assert_tree_close(getattr(tr1.state, name),
+                               getattr(tr2.state, name),
+                               atol=0, rtol=0, msg=name)

@@ -126,6 +126,92 @@ class TestTrainerTrajectory:
         expect_ema = ema0
         del expect_ema  # EMA covered in test_losses; params suffice here.
 
+    def _run_and_compare(self, cfg, n_steps, batch_key, gp_interval=1,
+                         rtol=2e-4, atol=2e-5, gap_ratio=5):
+        """Shared trajectory harness: run n_steps of the jitted 3-phase step
+        and the torch reference loop from identical weights/batches/noise;
+        assert per-step losses track and final params stay within
+        drift/gap_ratio of the torch endpoint. Returns (g_gap, d_gap,
+        g_drift, d_drift) for extra caller asserts."""
+        state = create_train_state(KEY, cfg)
+        _liven_gammas(state.g_params, 0.30)
+        _liven_gammas(state.d_params, 0.25)
+        te = init_text_encoder(jax.random.PRNGKey(3), cfg.text_encoder)
+        g0 = jax.tree.map(np.asarray, state.g_params)
+        d0 = jax.tree.map(np.asarray, state.d_params)
+
+        step = jax.jit(make_train_step(cfg))
+        rngs = jax.random.split(batch_key, n_steps)
+        batches_torch, jax_metrics = [], []
+        for i in range(n_steps):
+            ki, kc, kl = jax.random.split(rngs[i], 3)
+            images = jax.random.normal(ki, (BATCH, 16, 16, 3)) * 0.5
+            caps = jax.random.randint(kc, (BATCH, 6), 1, 30)
+            lens = jax.random.randint(kl, (BATCH,), 2, 7)
+            _, k_noise, _, _, _ = jax.random.split(state.rng, 5)
+            noise = jax.random.normal(k_noise, (BATCH,
+                                                cfg.generator.latent_dim))
+            sents = text_encoder_apply(te, cfg.text_encoder, caps, lens)
+            batches_torch.append((tr.nhwc2nchw(images), tr.j2t(sents),
+                                  tr.j2t(noise)))
+            state, m = step(state, te, images, caps, lens)
+            jax_metrics.append({k: float(v) for k, v in m.items()})
+
+        t_metrics, t_g, t_d = tr.reference_train_loop(
+            g0, d0, cfg.generator, cfg.loss, cfg.optim, batches_torch,
+            gp_interval=gp_interval)
+        for i, (jm, tm) in enumerate(zip(jax_metrics, t_metrics)):
+            for k in ("d_loss", "d_gp_loss", "g_loss"):
+                np.testing.assert_allclose(
+                    jm[k], tm[k], rtol=rtol, atol=atol,
+                    err_msg=f"step {i} {k}: jax={jm[k]} torch={tm[k]}")
+
+        def max_abs_diff(a_tree, b_tree):
+            return max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                       for a, b in zip(tr.tree_leaves(a_tree),
+                                       tr.tree_leaves(b_tree)))
+
+        t_g_np = jax.tree.map(lambda t: t.detach().numpy(), t_g)
+        t_d_np = jax.tree.map(lambda t: t.detach().numpy(), t_d)
+        g_final = jax.tree.map(np.asarray, state.g_params)
+        d_final = jax.tree.map(np.asarray, state.d_params)
+        g_drift = max_abs_diff(g_final, g0)
+        d_drift = max_abs_diff(d_final, d0)
+        g_gap = max_abs_diff(g_final, t_g_np)
+        d_gap = max_abs_diff(d_final, t_d_np)
+        assert g_drift > 3e-4, f"G barely moved ({g_drift})"
+        assert d_drift > 1e-3, f"D barely moved ({d_drift})"
+        assert g_gap < g_drift / gap_ratio, \
+            f"G diverged from torch: gap={g_gap} drift={g_drift}"
+        assert d_gap < d_drift / gap_ratio, \
+            f"D diverged from torch: gap={d_gap} drift={d_drift}"
+        return g_gap, d_gap, g_drift, d_drift
+
+    def test_lazy_gp_trajectory_tracks_torch(self):
+        """VERDICT r5 #8: the lazy-regularization COMPOSITION (gp_interval=2
+        — phase 2 and its D optimizer step every other step, x2 coefficient,
+        Adam moments advancing differently on skip steps) must track the
+        torch loop with the same cadence. This is the trajectory-level
+        evidence behind promoting the gp_interval operating points."""
+        cfg = _tiny_cfg()
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, gp_interval=2))
+        self._run_and_compare(cfg, n_steps=6,
+                              batch_key=jax.random.PRNGKey(31),
+                              gp_interval=2)
+
+    def test_long_horizon_trajectory_drift_bounded(self):
+        """VERDICT r5 #8: a 12-step fp32 run (double the main oracle's
+        horizon, 24 D updates / 12 G updates) with explicit drift bounds —
+        the gap to the torch endpoint stays a small fraction of how far the
+        weights travelled, i.e. divergence does not compound with horizon."""
+        g_gap, d_gap, g_drift, d_drift = self._run_and_compare(
+            _tiny_cfg(), n_steps=12, batch_key=jax.random.PRNGKey(9),
+            rtol=4e-4, atol=4e-5)
+        # the trajectories moved substantially further than the 6-step run's
+        # floors, so the gap/drift ratio is a real bound, not vacuous
+        assert g_drift > 6e-4 and d_drift > 2e-3
+
     def test_full_loop_trajectory_with_torch_text_encoder(self):
         """The strongest end-to-end FID-parity proxy available without
         pretrained assets: BOTH sides consume raw captions. The torch side

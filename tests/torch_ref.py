@@ -318,7 +318,7 @@ def sd_generator_forward(sd, cfg, noise, sent):
 # ---------------------------------------------------------------------------
 
 def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
-                         optim_cfg, batches):
+                         optim_cfg, batches, gp_interval: int = 1):
     """Run the reference per-batch training algorithm for len(batches) steps.
 
     batches: list of (images_nchw, sents, noise) torch tensors — the text
@@ -326,6 +326,13 @@ def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
     so precomputed sentence embeds are an exact substitute for running it.
     Returns (per-step metric dicts, final G param tree, final D param tree);
     param trees keep JAX layouts (see to_torch_tree).
+
+    gp_interval > 1 reproduces the lazy-regularization composition the JAX
+    step implements (LossConfig.gp_interval): the MA-GP phase (and its D
+    optimizer step) runs only on steps where `i % gp_interval == 0`, with
+    the coefficient scaled by the interval; the reported d_gp_loss is
+    normalized back to the reference coefficient on active steps and 0.0 on
+    skipped ones — matching train/step.py's logging exactly.
     """
     g_params = to_torch_tree(g_params_jax, requires_grad=True)
     d_params = to_torch_tree(d_params_jax, requires_grad=True)
@@ -342,7 +349,7 @@ def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
             t.grad = None
 
     metrics = []
-    for images, sents, noise in batches:
+    for i, (images, sents, noise) in enumerate(batches):
         b = images.shape[0]
         # One G forward per batch; the reference reuses the same fake_images
         # tensor across the D and G phases (`model.py:182,214`).
@@ -364,22 +371,28 @@ def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
         torch.nn.utils.clip_grad_norm_(d_leaves, optim_cfg.grad_clip_d)
         d_opt.step()
 
-        # -- phase 2: MA-GP on the post-phase-1 D (`:202-210` via `:59-85`)
-        img_v = images.clone().requires_grad_()
-        sent_v = sents.clone().requires_grad_()
-        logits = discriminator_logits(
-            d_params, discriminator_embeds(d_params, img_v), sent_v)
-        gi, gs = torch.autograd.grad(logits, (img_v, sent_v),
-                                     torch.ones_like(logits),
-                                     create_graph=True)
-        flat = torch.cat([gi.reshape(b, -1), gs.reshape(b, -1)], 1)
-        norm = torch.clamp(torch.sqrt((flat ** 2).sum(1) + loss_cfg.gp_eps),
-                           0, loss_cfg.gp_norm_clip)
-        gp_loss = loss_cfg.gp_coef * (norm ** loss_cfg.gp_power).mean()
-        zero_all()
-        gp_loss.backward()
-        torch.nn.utils.clip_grad_norm_(d_leaves, optim_cfg.grad_clip_d)
-        d_opt.step()
+        # -- phase 2: MA-GP on the post-phase-1 D (`:202-210` via `:59-85`);
+        # with lazy regularization, only every gp_interval-th step, k-scaled
+        gp_metric = 0.0
+        if i % gp_interval == 0:
+            img_v = images.clone().requires_grad_()
+            sent_v = sents.clone().requires_grad_()
+            logits = discriminator_logits(
+                d_params, discriminator_embeds(d_params, img_v), sent_v)
+            gi, gs = torch.autograd.grad(logits, (img_v, sent_v),
+                                         torch.ones_like(logits),
+                                         create_graph=True)
+            flat = torch.cat([gi.reshape(b, -1), gs.reshape(b, -1)], 1)
+            norm = torch.clamp(
+                torch.sqrt((flat ** 2).sum(1) + loss_cfg.gp_eps),
+                0, loss_cfg.gp_norm_clip)
+            gp_loss = (loss_cfg.gp_coef * gp_interval
+                       * (norm ** loss_cfg.gp_power).mean())
+            zero_all()
+            gp_loss.backward()
+            torch.nn.utils.clip_grad_norm_(d_leaves, optim_cfg.grad_clip_d)
+            d_opt.step()
+            gp_metric = gp_loss.item() / gp_interval
 
         # -- phase 3: G step against the post-GP D, same fake (`:214-228`)
         fake_logits3 = discriminator_logits(
@@ -390,7 +403,7 @@ def reference_train_loop(g_params_jax, d_params_jax, gen_cfg, loss_cfg,
         torch.nn.utils.clip_grad_norm_(g_leaves, optim_cfg.grad_clip_g)
         g_opt.step()
 
-        metrics.append({"d_loss": d_loss.item(), "d_gp_loss": gp_loss.item(),
+        metrics.append({"d_loss": d_loss.item(), "d_gp_loss": gp_metric,
                         "g_loss": g_loss.item()})
     return metrics, g_params, d_params
 

@@ -287,10 +287,11 @@ def _main_arms(results: dict, lock) -> None:
     candidates = [
         ("bfloat16", 128, "bfloat16", 65536, None, None),  # bf16 GP
         ("float32", 24, "float32", None, None, None),  # the reference point
-        # exact MXU lane widening: a LOSS at bf16 bs128 (424.9) but a small
-        # WIN at the fp32 reference point (+2.1%: four runs, mean 209.1, vs a
-        # 204.9 4-run baseline mean); A/B'd on-chip 2026-08-19
-        # (artifacts/r4_chip_queue/ab_fp32.log + repeats, PERF.md round 4)
+        # exact MXU lane widening: a LOSS at bf16 bs128 (424.9) but a
+        # properly-powered WIN at the fp32 reference point — 5 interleaved
+        # PAIRED rounds 2026-08-20: +4.16 img/s (+1.99%), SE 0.185, 5/5
+        # rounds positive (tools/fp32_lane_ab.py,
+        # artifacts/r5_chip_queue/fp32_lane_ab.log; PERF.md round 5)
         ("float32", 24, "float32", None, lane, None),
         ("bfloat16", 64, "float32", None, None, None),  # larger batch
     ]

@@ -205,6 +205,17 @@ class TrainConfig:
     num_epochs: int = 600
     seed: int = 123321
     eval_max_batches: int = 32  # `model.py:251`
+    # Eval cadence: run IS/FID (+ sample dumps) every Nth epoch, always
+    # including the last (1 = the reference's every-epoch protocol,
+    # `model.py:239-280`). Skipped epochs log the reference failure
+    # sentinels (IS 1.0 / FID inf — `src/evaluation/metrics.py:58-60`),
+    # keeping histories one-entry-per-epoch.
+    eval_every_epochs: int = 1
+    # FID matrix-sqrt backend: "scipy" = the reference's exact host sqrtm
+    # (`src/evaluation/metrics.py:108`; ~70s/epoch on a 1-core host);
+    # "newton_schulz" = the on-device iteration (f64 on CPU, f32 on TPU —
+    # rtol ~2e-2 vs scipy, test_metrics.py::TestSqrtm), milliseconds.
+    eval_sqrtm: str = "scipy"
     checkpoint_every_epochs: int = 1
     numbered_checkpoint_every: int = 10
     ema_decay: float = 0.999  # EMA generator (BASELINE.json config 5; 0 disables)

@@ -36,6 +36,8 @@ CONFIG_RESUME_MUTABLE = frozenset({
     "train.numbered_checkpoint_every",
     "train.eval_use_ema",
     "train.eval_max_batches",
+    "train.eval_every_epochs",
+    "train.eval_sqrtm",
     "data.data_dir",
     # Pure-performance knobs — exact math (scheduling / rematerialization
     # budgets), so toggling them across a resume changes no semantics.

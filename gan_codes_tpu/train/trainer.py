@@ -97,6 +97,7 @@ class Trainer:
         # per-step scalar series of the last train_epoch (only retained when
         # cfg.train.log_every_steps > 0; consumed by fit's step-row flush)
         self._last_step_series = None
+        self._use_scipy_sqrtm = cfg.train.eval_sqrtm != "newton_schulz"
 
     def close(self) -> None:
         """Release the JSONL log file handle (idempotent)."""
@@ -343,11 +344,13 @@ class Trainer:
                 from ..eval.metrics import compute_is_fid_multihost
                 is_score, fid_score = compute_is_fid_multihost(
                     self.inception_params, fake_all, real_all,
-                    real_moments=real_side)
+                    real_moments=real_side,
+                    use_scipy_sqrtm=self._use_scipy_sqrtm)
             else:
                 is_score, fid_score = compute_is_fid(
                     self.inception_params, fake_all, real_all,
-                    real_stats=real_side)
+                    real_stats=real_side,
+                    use_scipy_sqrtm=self._use_scipy_sqrtm)
             if jax.process_index() == 0:
                 print(f"Computed IS: {is_score:.4f}, FID: {fid_score:.4f}")
         return is_score, fid_score, *(last or (None, None, None))
@@ -376,8 +379,10 @@ class Trainer:
                     self.inception_params, real_all)
             else:
                 try:
+                    # acts ride along so compute_fid can take its exact
+                    # low-rank cross-term path every epoch
                     payload = metrics.activation_stats(
-                        self.inception_params, real_all)
+                        self.inception_params, real_all, return_acts=True)
                 except FloatingPointError:
                     # Deterministic loader -> same NaN next epoch; cache the
                     # miss and let compute_fid trip its own inf sentinel.
@@ -470,8 +475,16 @@ class Trainer:
                 epoch_metrics.get("txtimg_loss", 0.0))
 
             eval_loader = test_loader if test_loader is not None else train_loader
-            is_score, fid_score, fake, caps, lens = self.evaluate(
-                eval_loader, use_ema=self.cfg.train.eval_use_ema)
+            # Eval cadence (TrainConfig.eval_every_epochs): skipped epochs
+            # record the reference failure sentinels so histories stay
+            # one-entry-per-epoch; the final epoch always evaluates.
+            k_eval = self.cfg.train.eval_every_epochs
+            if (epoch + 1) % k_eval == 0 or epoch == num_epochs - 1:
+                is_score, fid_score, fake, caps, lens = self.evaluate(
+                    eval_loader, use_ema=self.cfg.train.eval_use_ema)
+            else:
+                is_score, fid_score, fake, caps, lens = (
+                    1.0, float("inf"), None, None, None)
             histories["is_scores"].append(is_score)
             histories["fid_scores"].append(fid_score)
 

@@ -38,7 +38,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
           lane_pad_min_ch: int = 0, image_pad: int = 0,
           steps_per_dispatch: int = 1, log_every_steps: int = 0,
           mesh_layout: str = "flat", mesh_slices: int = 0,
-          device_prefetch: bool = False):
+          device_prefetch: bool = False, eval_every: int = 1,
+          eval_sqrtm: str = "scipy"):
     import jax
 
     # Test/harness hook: this image's sitecustomize registers the axon TPU
@@ -114,7 +115,8 @@ def train(data_path: str, encoder_weights_path: Optional[str],
         xla_scoped_vmem_kib=xla_vmem_kib,
         steps_per_dispatch=steps_per_dispatch,
         log_every_steps=log_every_steps,
-        device_prefetch=device_prefetch)
+        device_prefetch=device_prefetch,
+        eval_every_epochs=eval_every, eval_sqrtm=eval_sqrtm)
 
     # Per-host input sharding (jax.process_* are 0/1 single-host, so this is
     # always-on and a no-op outside --multihost).
@@ -252,6 +254,16 @@ def main():
                         "dispatch via one jitted lax.scan over stacked "
                         "batches (exact math; amortizes dispatch latency — "
                         "biggest win on remote/relay-attached devices)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="run IS/FID + sample dumps every N epochs (last "
+                        "epoch always; skipped epochs log the reference "
+                        "sentinels IS 1.0 / FID inf). 1 = reference "
+                        "every-epoch protocol")
+    p.add_argument("--eval-sqrtm", default="scipy",
+                   choices=["scipy", "newton_schulz"],
+                   help="FID matrix sqrt: exact host scipy (reference "
+                        "path; ~70s on a 1-core host) or the on-device "
+                        "Newton-Schulz iteration (ms; rtol ~2e-2)")
     p.add_argument("--device-prefetch", action="store_true",
                    help="upload batch i+1 on a worker thread while batch "
                         "i's step runs (identical trajectory; wins when "
@@ -290,7 +302,8 @@ def main():
           steps_per_dispatch=a.steps_per_dispatch,
           log_every_steps=a.log_every_steps,
           mesh_layout=a.mesh_layout, mesh_slices=a.mesh_slices,
-          device_prefetch=a.device_prefetch)
+          device_prefetch=a.device_prefetch, eval_every=a.eval_every,
+          eval_sqrtm=a.eval_sqrtm)
 
 
 if __name__ == "__main__":

@@ -244,6 +244,40 @@ class TestTrainerE2E:
                                    np.mean(active_losses), rtol=1e-6)
         assert "d_gp_active" not in epoch_metrics
 
+    def test_eval_every_epochs_sentinels_and_cadence(self, setup):
+        """TrainConfig.eval_every_epochs: skipped epochs log the reference
+        failure sentinels (IS 1.0 / FID inf, `src/evaluation/metrics.py:
+        58-60`), evaluated epochs (every Nth + the last) get real scores;
+        histories stay one-entry-per-epoch."""
+        import dataclasses
+
+        from gan_codes_tpu.models.inception import init_inception
+
+        cfg, train_ds, test_ds, te_params, work = setup
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, eval_every_epochs=2,
+                                           eval_sqrtm="newton_schulz"))
+        trainer = Trainer(cfg, te_params, os.path.join(work, "ee_ckpt"),
+                          os.path.join(work, "ee_imgs"),
+                          code2word=train_ds.code2word,
+                          inception_params=init_inception(
+                              jax.random.PRNGKey(3)))
+        hist = trainer.fit(DataLoader(train_ds, 4, seed=0),
+                           DataLoader(test_ds, 4, shuffle=False),
+                           num_epochs=3, auto_resume=False)
+        trainer.close()
+        assert len(hist["fid_scores"]) == 3
+        # epoch 0 skipped -> sentinels; epoch 1 (2nd) + epoch 2 (last) eval
+        assert hist["is_scores"][0] == 1.0
+        assert hist["fid_scores"][0] == float("inf")
+        assert np.isfinite(hist["fid_scores"][1])
+        assert np.isfinite(hist["fid_scores"][2])
+        # sample dumps only on evaluated epochs
+        imgs = os.path.join(work, "ee_imgs")
+        assert not os.path.exists(os.path.join(imgs,
+                                               "fake_sample_epoch_0.png"))
+        assert os.path.exists(os.path.join(imgs, "fake_sample_epoch_2.png"))
+
     def test_log_every_steps_writes_step_rows(self, setup):
         """TrainConfig.log_every_steps (SURVEY §5 per-step scalars): fit
         writes kind='step' rows — one per Nth step, tagged with their epoch

@@ -82,19 +82,63 @@ class TestScores:
         fid = compute_fid(inception_params, a, b, batch_size=4)
         assert fid > 0
 
+    def test_sqrtm_trace_lowrank_exact_vs_scipy(self):
+        """compute_fid's exact low-rank cross term: trace(sqrtm(S1@S2)) via
+        the n x n Gram eigendecomposition == scipy's 2048^2 sqrtm, for the
+        sample-rank-deficient covariances every per-epoch eval produces."""
+        from scipy import linalg
+
+        from gan_codes_tpu.eval.metrics import sqrtm_trace_lowrank
+
+        rng = np.random.RandomState(3)
+        for n1, n2, d in ((6, 9, 32), (12, 5, 64), (20, 20, 20)):
+            a = rng.randn(n1, d)
+            b = rng.randn(n2, d)
+            a = (a - a.mean(0)) / np.sqrt(n1 - 1.0)
+            b = (b - b.mean(0)) / np.sqrt(n2 - 1.0)
+            want = np.trace(linalg.sqrtm((a.T @ a) @ (b.T @ b)).real)
+            got = sqrtm_trace_lowrank(a, b)
+            np.testing.assert_allclose(got, want, rtol=1e-6,
+                                       err_msg=f"{n1}x{n2}x{d}")
+
+    def test_fid_lowrank_path_matches_scipy_frechet(self, inception_params):
+        """End-to-end: compute_fid (which takes the low-rank path for
+        n << 2048 activations) == the reference Frechet formula evaluated
+        with scipy's exact sqrtm on the same stats."""
+        from gan_codes_tpu.eval.metrics import (_frechet_distance,
+                                                activation_stats)
+
+        a = jax.random.uniform(KEY, (8, 75, 75, 3), minval=-1, maxval=1)
+        b = jax.random.uniform(jax.random.fold_in(KEY, 9), (8, 75, 75, 3),
+                               minval=-1, maxval=1)
+        fid = compute_fid(inception_params, a, b, batch_size=4)
+        mu1, s1 = activation_stats(inception_params, a, batch_size=4)
+        mu2, s2 = activation_stats(inception_params, b, batch_size=4)
+        want = _frechet_distance(mu1, s1, mu2, s2, use_scipy=True)
+        assert np.isfinite(fid)
+        np.testing.assert_allclose(fid, want, rtol=1e-5, atol=1e-6)
+
     def test_fid_with_cached_real_stats_matches_direct(self, inception_params):
         """activation_stats + compute_fid(real_stats=...) == compute_fid
         (the Trainer caches the deterministic test split's real-side stats
-        across epochs — must be a pure reordering, not an approximation)."""
+        across epochs — must be a pure reordering, not an approximation).
+        Covered for both cache shapes: the (mu, sigma, acts) triple the
+        Trainer stores (exact same low-rank path as direct) and the legacy
+        (mu, sigma) pair (scipy cross term, equal to ~1e-6)."""
         from gan_codes_tpu.eval.metrics import activation_stats
         a = jax.random.uniform(KEY, (8, 32, 32, 3), minval=-1, maxval=1)
         b = jax.random.uniform(jax.random.fold_in(KEY, 1), (8, 32, 32, 3),
                                minval=-1, maxval=1)
         direct = compute_fid(inception_params, a, b, batch_size=4)
-        stats = activation_stats(inception_params, a, batch_size=4)
+        triple = activation_stats(inception_params, a, batch_size=4,
+                                  return_acts=True)
         cached = compute_fid(inception_params, None, b, batch_size=4,
-                             real_stats=stats)
+                             real_stats=triple)
         np.testing.assert_allclose(cached, direct, rtol=1e-9)
+        pair = activation_stats(inception_params, a, batch_size=4)
+        legacy = compute_fid(inception_params, None, b, batch_size=4,
+                             real_stats=pair)
+        np.testing.assert_allclose(legacy, direct, rtol=1e-5, atol=1e-6)
 
     def test_is_fid_pairing(self, inception_params):
         imgs = jax.random.uniform(KEY, (4, 32, 32, 3), minval=-1, maxval=1)

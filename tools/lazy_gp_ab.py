@@ -59,6 +59,10 @@ def run_leg(name, data_dir, work, inception, epochs, batch, image_size,
            "--dtype", dtype, "--gp-dtype", gp_dtype,
            "--gp-interval", str(gp_interval), "--seed", str(seed),
            "--inception", inception,
+           # on-device Newton-Schulz FID: scipy's exact sqrtm costs ~70s
+           # PER EPOCH on this 1-core host (measured) and would dominate
+           # every leg; the same estimator on every arm keeps the A/B fair
+           "--eval-sqrtm", "newton_schulz",
            # final-epoch checkpoint only: per-epoch Orbax saves would
            # dominate wall time through the relay and resume isn't under test
            "--ckpt-every", str(epochs),
@@ -80,9 +84,13 @@ def run_leg(name, data_dir, work, inception, epochs, batch, image_size,
 
 
 def read_metrics(leg_dir):
+    def f(v):  # JSONL stringifies non-finite floats ("Infinity"/"NaN")
+        return float(v)
+
     rows = [json.loads(l) for l in
-            open(os.path.join(leg_dir, "weights", "metrics_log.jsonl"))]
-    return {k: np.array([r[k] for r in rows])
+            open(os.path.join(leg_dir, "weights", "metrics_log.jsonl"))
+            if '"epoch_seconds"' in l]  # epoch rows only (not kind=step)
+    return {k: np.array([f(r[k]) for r in rows])
             for k in ("g_loss", "d_loss", "d_gp_loss", "is_score",
                       "fid_score", "epoch_seconds")}
 

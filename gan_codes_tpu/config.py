@@ -256,9 +256,11 @@ class TrainConfig:
     # One-ahead threaded device upload: batch i+1's host->device transfer
     # runs on a worker thread while batch i's step executes. Exact same
     # step sequence/trajectory — only WHEN the transfer happens changes.
-    # Matters when the host->device link is the bottleneck (the dev
-    # relay's ~30-50 MB/s; tools/dispatch_probe.py `dprefetch` arm
-    # measures it). Single-process only: the trainer ignores it under a
+    # Targets hosts whose device link supports genuinely parallel DMA;
+    # through the dev RELAY it measured -16% (single serialized
+    # connection: the worker's upload contends with the dispatch stream —
+    # PERF.md round 5, tools/dispatch_probe.py `dprefetch` arm), so it
+    # stays opt-in. Single-process only: the trainer ignores it under a
     # multi-host mesh, where make_array_from_process_local_data must stay
     # on the main thread with the collectives.
     device_prefetch: bool = False

@@ -39,15 +39,24 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
 DCN_AXIS = "replica"
 
 
-def _slice_id(d) -> int:
-    """Physical slice of a device: TPU runtimes expose `slice_index` on
-    multi-slice deployments; otherwise fall back to the owning process
-    (multi-process CPU/Gloo runs: one process == one 'slice', which is
-    exactly the boundary its collectives cross over the slow transport)."""
-    s = getattr(d, "slice_index", None)
-    if s is None:
-        s = getattr(d, "process_index", 0)
-    return int(s)
+def _group_by_slice(devices) -> dict:
+    """Group devices by physical slice. TPU runtimes expose `slice_index`
+    on multi-slice deployments — but single-slice (and CPU) backends report
+    it as 0 on EVERY device, so a degenerate one-group split falls back to
+    the owning process (multi-process CPU/Gloo runs: one process == one
+    'slice', which is exactly the boundary its collectives cross over the
+    slow transport)."""
+    by_slice: dict = {}
+    for d in devices:
+        by_slice.setdefault(int(getattr(d, "slice_index", 0) or 0),
+                            []).append(d)
+    if len(by_slice) > 1:
+        return by_slice
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(int(getattr(d, "process_index", 0)),
+                           []).append(d)
+    return by_proc
 
 
 def make_hybrid_mesh(n_model: int = 1, n_slices: Optional[int] = None,
@@ -78,9 +87,7 @@ def make_hybrid_mesh(n_model: int = 1, n_slices: Optional[int] = None,
     sharded == single-device on it.
     """
     devices = list(devices if devices is not None else jax.devices())
-    groups: dict = {}
-    for d in devices:
-        groups.setdefault(_slice_id(d), []).append(d)
+    groups = _group_by_slice(devices)
     if len(groups) == 1 and n_slices and n_slices > 1:
         if len(devices) % n_slices:
             raise ValueError(f"{len(devices)} devices do not split into "

@@ -40,6 +40,9 @@ def test_best_arm_wins(capsys):
 
 
 def test_opt_in_point_never_headlines(capsys):
+    """Any '(opt-in)'-labeled arm is excluded from the headline max — the
+    guard that kept lazy-GP out of the headline until its round-5
+    twin-quality promotion (artifacts/lazy_gp_ab/REPORT.json)."""
     results = {"bfloat16_bs128_gpbf16": 550.0,
                "bfloat16_bs128_gpbf16_lazy4(opt-in)": 700.0}
     p = _emit(capsys, results)
@@ -47,6 +50,17 @@ def test_opt_in_point_never_headlines(capsys):
     assert p["value"] == 550.0
     # still visible in the labeled breakdown
     assert p["all"]["bfloat16_bs128_gpbf16_lazy4(opt-in)"] == 700.0
+
+
+def test_promoted_lazy_arm_headlines(capsys):
+    """Post-promotion label (no '(opt-in)') IS headline-eligible: the
+    bench's best-of now includes the validated lazy-GP recipe."""
+    results = {"bfloat16_bs128_gpbf16": 550.0,
+               "bfloat16_bs128_gpbf16_lazy4": 700.0}
+    p = _emit(capsys, results)
+    assert p["config"] == "bfloat16_bs128_gpbf16_lazy4"
+    assert p["value"] == 700.0
+    assert p["all"]["bfloat16_bs128_gpbf16"] == 550.0
 
 
 def test_outage_shape(capsys):

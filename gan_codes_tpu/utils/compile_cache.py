@@ -24,6 +24,19 @@ def enable_compile_cache(directory: str) -> None:
     """
     import jax
 
+    # The persistent-cache singleton binds to jax_compilation_cache_dir at
+    # the FIRST compile of the process; if some earlier code already
+    # compiled under a different cache dir (e.g. the test suite's conftest
+    # cache), updating the config alone is inert. Reset the singleton so
+    # this directory actually takes effect. Fail-soft: private-ish API,
+    # and a failed reset just means the previous directory keeps serving.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        if _cc.is_initialized():
+            _cc.reset_cache()
+    except Exception:
+        pass
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(directory))
     # Cache EVERY compile, including sub-second ones (floor 0 overrides
     # JAX's 1s default): through the remote-TPU relay each tiny program

@@ -172,9 +172,9 @@ class TestTrainerE2E:
         calls = []
         real_activation_stats = metrics_mod.activation_stats
 
-        def counting_stats(params, images, batch_size=8):
+        def counting_stats(params, images, batch_size=8, **kw):
             calls.append(images.shape)
-            return real_activation_stats(params, images, batch_size)
+            return real_activation_stats(params, images, batch_size, **kw)
 
         import gan_codes_tpu.train.trainer as trainer_mod
         monkeypatch.setattr(metrics_mod, "activation_stats", counting_stats)

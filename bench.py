@@ -270,9 +270,12 @@ def _main_arms(results: dict, lock) -> None:
     # tools/lanepad_ab.py via enable_bench_cache.
     from gan_codes_tpu.utils.compile_cache import enable_bench_cache
     enable_bench_cache(lambda m: print(f"[bench] {m}", file=sys.stderr))
-    # Reference-semantics configs only; the headline is the best of these.
+    # Exact-reference-MATH configs (dtype/batch/padding/vmem changes only;
+    # identical step semantics). The headline is the best of these PLUS the
+    # quality-validated lazy-GP arm added below (gp_interval=4 — a
+    # different, validated step recipe; see its promotion comment).
     # (dtype, batch, gp_dtype, xla_vmem_kib, lane_overrides, image_pad):
-    # every arm is exact reference math, so all are headline-eligible; the
+    # every arm here is exact reference math, so all are headline-eligible; the
     # scoped-VMEM hint is only applied where it was swept and measured a win
     # (bf16 bs128: 547->563). Every arm is ~5 min of remote compile inside
     # the driver's bench window, so only potential winners stay; retired

@@ -207,9 +207,10 @@ class TrainConfig:
     eval_max_batches: int = 32  # `model.py:251`
     # Eval cadence: run IS/FID (+ sample dumps) every Nth epoch, always
     # including the last (1 = the reference's every-epoch protocol,
-    # `model.py:239-280`). Skipped epochs log the reference failure
-    # sentinels (IS 1.0 / FID inf — `src/evaluation/metrics.py:58-60`),
-    # keeping histories one-entry-per-epoch.
+    # `model.py:239-280`; 0 = final epoch only). Skipped epochs log the
+    # reference failure sentinels (IS 1.0 / FID inf —
+    # `src/evaluation/metrics.py:58-60`), keeping histories
+    # one-entry-per-epoch.
     eval_every_epochs: int = 1
     # FID matrix-sqrt backend: "scipy" = the reference's exact host sqrtm
     # (`src/evaluation/metrics.py:108`; ~70s/epoch on a 1-core host);
@@ -262,7 +263,9 @@ class TrainConfig:
     # PERF.md round 5, tools/dispatch_probe.py `dprefetch` arm), so it
     # stays opt-in. Single-process only: the trainer ignores it under a
     # multi-host mesh, where make_array_from_process_local_data must stay
-    # on the main thread with the collectives.
+    # on the main thread with the collectives. Also ignored when
+    # steps_per_dispatch > 1 — the scan device loop takes precedence (its
+    # stacked upload IS the feed path there).
     device_prefetch: bool = False
     # Structured per-step scalar logging (SURVEY §5 metrics row): 0 = the
     # default per-epoch JSONL rows only; N > 0 additionally flushes every

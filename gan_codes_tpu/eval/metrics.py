@@ -179,12 +179,16 @@ def activation_stats(inception_params, images: jnp.ndarray,
                    batch_size).astype(np.float64)
     if np.isnan(act).any():
         raise FloatingPointError("activations contain NaN values")
+    if act.shape[0] < 2:
+        # covariance (ddof=1) is undefined for a single sample; raise the
+        # error compute_fid maps to the reference inf sentinel (same guard
+        # the multi-host moments path applies explicitly) instead of
+        # letting a 0/0 NaN masquerade as a score downstream
+        raise FloatingPointError(
+            f"FID statistics need >=2 samples, got {act.shape[0]}")
     mu = act.mean(axis=0)
-    # np.cov(ddof=1) equivalent; n=1 keeps cov's divide-by-zero -> nan
-    # semantics so the FID inf sentinel still trips downstream
-    with np.errstate(divide="ignore", invalid="ignore"):
-        centered = (act - mu) / np.sqrt(float(act.shape[0] - 1))
-    sigma = centered.T @ centered
+    centered = (act - mu) / np.sqrt(float(act.shape[0] - 1))
+    sigma = centered.T @ centered  # == np.cov(act, rowvar=False), ddof=1
     if return_acts:
         return mu, sigma, centered
     return mu, sigma

@@ -88,6 +88,13 @@ def make_hybrid_mesh(n_model: int = 1, n_slices: Optional[int] = None,
     """
     devices = list(devices if devices is not None else jax.devices())
     groups = _group_by_slice(devices)
+    if n_slices and len(groups) > 1 and len(groups) != n_slices:
+        # a forced slice count that contradicts the hardware grouping must
+        # not be silently ignored — the user asked for a topology the
+        # devices don't have
+        raise ValueError(
+            f"n_slices={n_slices} requested but devices group into "
+            f"{len(groups)} physical slices/processes")
     if len(groups) == 1 and n_slices and n_slices > 1:
         if len(devices) % n_slices:
             raise ValueError(f"{len(devices)} devices do not split into "

@@ -196,23 +196,22 @@ class Trainer:
             # sequence; only the transfer timing moves off the main thread.
             from concurrent.futures import ThreadPoolExecutor
 
+            def run_staged(fut):
+                images, captions, cap_lens = fut.result()
+                self.state, metrics = self._step_fn(
+                    self.state, self.text_encoder_params, images,
+                    captions, cap_lens)
+                accum(metrics)
+
             with ThreadPoolExecutor(1) as uploader:
                 fut = None
                 for batch in train_loader:
                     nxt = uploader.submit(self._device_batch, batch)
                     if fut is not None:
-                        images, captions, cap_lens = fut.result()
-                        self.state, metrics = self._step_fn(
-                            self.state, self.text_encoder_params, images,
-                            captions, cap_lens)
-                        accum(metrics)
+                        run_staged(fut)
                     fut = nxt
                 if fut is not None:
-                    images, captions, cap_lens = fut.result()
-                    self.state, metrics = self._step_fn(
-                        self.state, self.text_encoder_params, images,
-                        captions, cap_lens)
-                    accum(metrics)
+                    run_staged(fut)
         else:
             for batch in train_loader:
                 accum(self._step_single(batch))
@@ -478,8 +477,11 @@ class Trainer:
             # Eval cadence (TrainConfig.eval_every_epochs): skipped epochs
             # record the reference failure sentinels so histories stay
             # one-entry-per-epoch; the final epoch always evaluates.
+            # 0 = only the final epoch (matching the 0-is-off convention of
+            # the sibling knobs).
             k_eval = self.cfg.train.eval_every_epochs
-            if (epoch + 1) % k_eval == 0 or epoch == num_epochs - 1:
+            if ((k_eval > 0 and (epoch + 1) % k_eval == 0)
+                    or epoch == num_epochs - 1):
                 is_score, fid_score, fake, caps, lens = self.evaluate(
                     eval_loader, use_ema=self.cfg.train.eval_use_ema)
             else:

@@ -258,7 +258,7 @@ def main():
                    help="run IS/FID + sample dumps every N epochs (last "
                         "epoch always; skipped epochs log the reference "
                         "sentinels IS 1.0 / FID inf). 1 = reference "
-                        "every-epoch protocol")
+                        "every-epoch protocol; 0 = final epoch only")
     p.add_argument("--eval-sqrtm", default="scipy",
                    choices=["scipy", "newton_schulz"],
                    help="FID matrix sqrt: exact host scipy (reference "

@@ -51,7 +51,8 @@ def run_train(spec) -> dict:
     )
     if spec.get("hybrid_mesh"):
         # DCN-aware mesh: each PROCESS's local devices form one "slice"
-        # (mesh.py::_slice_id falls back to process_index on CPU), so the
+        # (mesh.py::_group_by_slice falls back to process_index when
+        # slice_index is degenerate), so the
         # replica axis is exactly the Gloo-crossing boundary here — the
         # CPU-testable analogue of a multi-slice TPU deployment.
         mesh = make_hybrid_mesh()

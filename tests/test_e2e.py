@@ -278,6 +278,21 @@ class TestTrainerE2E:
                                                "fake_sample_epoch_0.png"))
         assert os.path.exists(os.path.join(imgs, "fake_sample_epoch_2.png"))
 
+        # 0 = final-epoch-only (the sibling-knob 0-is-off convention; a
+        # review finding showed 0 used to ZeroDivisionError mid-fit)
+        cfg0 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, eval_every_epochs=0))
+        tr0 = Trainer(cfg0, te_params, os.path.join(work, "ee0_ckpt"),
+                      os.path.join(work, "ee0_imgs"),
+                      code2word=train_ds.code2word,
+                      inception_params=init_inception(jax.random.PRNGKey(3)))
+        hist0 = tr0.fit(DataLoader(train_ds, 4, seed=0),
+                        DataLoader(test_ds, 4, shuffle=False),
+                        num_epochs=2, auto_resume=False)
+        tr0.close()
+        assert hist0["fid_scores"][0] == float("inf")
+        assert np.isfinite(hist0["fid_scores"][1])  # last epoch evaluates
+
     def test_log_every_steps_writes_step_rows(self, setup):
         """TrainConfig.log_every_steps (SURVEY §5 per-step scalars): fit
         writes kind='step' rows — one per Nth step, tagged with their epoch

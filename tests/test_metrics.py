@@ -82,6 +82,21 @@ class TestScores:
         fid = compute_fid(inception_params, a, b, batch_size=4)
         assert fid > 0
 
+    def test_fid_single_sample_trips_inf_sentinel(self, inception_params):
+        """n=1 covariance is undefined; the stats raise FloatingPointError
+        and compute_fid maps it to the reference inf sentinel instead of
+        emitting a NaN score (review finding — mirrors the multi-host
+        moments path's explicit n>=2 guard)."""
+        from gan_codes_tpu.eval.metrics import activation_stats
+
+        one = jax.random.uniform(KEY, (1, 32, 32, 3), minval=-1, maxval=1)
+        many = jax.random.uniform(jax.random.fold_in(KEY, 2), (4, 32, 32, 3),
+                                  minval=-1, maxval=1)
+        with pytest.raises(FloatingPointError):
+            activation_stats(inception_params, one, batch_size=2)
+        assert compute_fid(inception_params, one, many,
+                           batch_size=2) == float("inf")
+
     def test_sqrtm_trace_lowrank_exact_vs_scipy(self):
         """compute_fid's exact low-rank cross term: trace(sqrtm(S1@S2)) via
         the n x n Gram eigendecomposition == scipy's 2048^2 sqrtm, for the

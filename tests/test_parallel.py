@@ -68,6 +68,22 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_hybrid_mesh(n_slices=3)  # 8 devices don't split by 3
 
+    def test_hybrid_mesh_rejects_contradicting_forced_slices(self):
+        """A forced n_slices that disagrees with the hardware grouping must
+        raise, not silently build a different topology (review finding)."""
+        devs = jax.devices()
+
+        class Dev:  # stand-in exposing a real multi-slice grouping
+            def __init__(self, d, s):
+                self._d, self.slice_index, self.process_index = d, s, 0
+
+            def __getattr__(self, name):
+                return getattr(self._d, name)
+
+        wrapped = [Dev(d, i // 4) for i, d in enumerate(devs)]  # 2 slices
+        with pytest.raises(ValueError, match="group into 2"):
+            make_hybrid_mesh(n_slices=4, devices=wrapped)
+
     def test_hybrid_mesh_model_axis(self):
         mesh = make_hybrid_mesh(n_slices=2, n_model=2)
         assert mesh.shape == {DCN_AXIS: 2, "data": 2, "model": 2}

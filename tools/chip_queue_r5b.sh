@@ -18,13 +18,25 @@ cd "$REPO"
 log() { echo "$(date -u '+%F %T') $*" >> "$OUT/STATUS.txt"; }
 log "r5b queue started pid $$"
 
-# wait for the main queue to finish (poll its pid; it removes itself never,
-# so poll liveness)
-MAIN_PID="$(cat /tmp/chip_queue_r5.pid 2>/dev/null || echo '')"
-while [ -n "$MAIN_PID" ] && kill -0 "$MAIN_PID" 2>/dev/null; do
-    sleep 120
+# Wait for the main queue to finish so two clients never contend on the
+# relay mid-measurement. Two races handled (review finding r5):
+#  * started BEFORE the main queue wrote its pid file -> grace-poll for the
+#    file for up to 10 min instead of proceeding immediately;
+#  * stale pid file whose PID was recycled by some unrelated long-lived
+#    process -> cap the liveness wait at 6 h, then proceed rather than
+#    hang forever (the probe loop below still serializes on the relay).
+MAIN_PID=""
+for _ in $(seq 1 60); do
+    MAIN_PID="$(cat /tmp/chip_queue_r5.pid 2>/dev/null || echo '')"
+    [ -n "$MAIN_PID" ] && break
+    sleep 10
 done
-log "r5b: main queue gone; proceeding"
+WAITED=0
+while [ -n "$MAIN_PID" ] && kill -0 "$MAIN_PID" 2>/dev/null \
+        && [ "$WAITED" -lt 21600 ]; do
+    sleep 120; WAITED=$((WAITED + 120))
+done
+log "r5b: main queue gone (or wait capped at ${WAITED}s); proceeding"
 
 probe() {
     timeout 45 python -c "import jax; print(len(jax.devices()))" \
